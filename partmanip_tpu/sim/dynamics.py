@@ -1,0 +1,189 @@
+"""Batched articulated rigid-body dynamics.
+
+Joint-space Lagrangian formulation built from the world-frame link Jacobians
+of :mod:`kinematics`:
+
+* mass matrix  ``M = Σ_l m_l Jv_lᵀ Jv_l + Jw_lᵀ I_l^w Jw_l`` — batched
+  einsums that map straight onto the MXU;
+* velocity-product (Coriolis/centrifugal + gyroscopic) and gravity bias via a
+  single forward-mode JVP through FK (no hand-derived Christoffel terms);
+* stable high-gain PD position drives via implicit integration
+  (Tan et al., "Stable Proportional-Derivative Controllers"), with PhysX-style
+  drive effort clamping (≙ Isaac DOF_MODE_POS with the stiffness/damping
+  table of ``tasks/load_robot.py:68-79``);
+* Coulomb joint friction / damping / armature (≙ the drawer DOF props,
+  ``tasks/open_drawer.py:162-167``).
+
+This replaces the PhysX TGS solver for reduced coordinates; contacts enter as
+explicit generalized forces plus optional implicit damping/stiffness blocks
+assembled by :mod:`contacts`.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from . import kinematics
+from .types import TreeSpec, TreeState
+
+# Stiction linearization velocity (m/s or rad/s): below this, Coulomb
+# friction acts as implicit viscous damping (exact linearization of the
+# clipped-friction law).
+_FRICTION_VEPS = 1e-3
+
+
+def mass_matrix(spec: TreeSpec, fk, E: int) -> jnp.ndarray:
+    """Joint-space inertia matrix [E, D, D] (+armature, padded-dof identity)."""
+    jv, jw, _ = kinematics.link_jacobians(spec, fk)  # [E, L, 3, D]
+    L = spec.num_links
+    mass = jnp.broadcast_to(spec.mass * spec.link_mask, (E, L))
+    # world-frame rotational inertia per link: R I Rᵀ
+    from ..ops import rotations as rot
+
+    Rm = rot.quat_to_mat(fk.link_quat)  # [E, L, 3, 3]
+    I_l = jnp.broadcast_to(spec.inertia, (E, L, 3, 3))
+    Iw = jnp.einsum("elab,elbc,eldc->elad", Rm, I_l, Rm)
+    M = jnp.einsum("el,elad,elaf->edf", mass, jv, jv)
+    M = M + jnp.einsum("elad,elab,elbf->edf", jw, Iw, jw)
+    dm = jnp.broadcast_to(spec.dof_mask, (E, spec.num_dofs))
+    arm = jnp.broadcast_to(spec.dof_armature, dm.shape)
+    M = M + jnp.vectorize(jnp.diag, signature="(d)->(d,d)")(
+        arm * dm + (1.0 - dm)
+    )
+    return M
+
+
+def bias_forces(spec: TreeSpec, state: TreeState, gravity: jnp.ndarray,
+                coriolis: bool = True) -> jnp.ndarray:
+    """Generalized bias τ_bias with  M q̈ = τ_applied − τ_bias.
+
+    τ_bias = C(q, q̇) q̇ + g(q).  The velocity-product term is obtained by
+    differentiating link velocities along the current q̇ with one JVP.
+    """
+    E, D = state.qpos.shape
+    L = spec.num_links
+    from ..ops import rotations as rot
+
+    def link_vels(qpos):
+        st = state._replace(qpos=qpos)
+        fk = kinematics.forward_kinematics(spec, st)
+        jv, jw, com_w = kinematics.link_jacobians(spec, fk)
+        v = jnp.einsum("elad,ed->ela", jv, state.qvel)
+        w = jnp.einsum("elad,ed->ela", jw, state.qvel)
+        return (v, w), (jv, jw, fk)
+
+    (v, w), (jv, jw, fk) = link_vels(state.qpos)
+    mass = jnp.broadcast_to(spec.mass * spec.link_mask, (E, L))
+    Rm = rot.quat_to_mat(fk.link_quat)
+    Iw = jnp.einsum("elab,elbc,eldc->elad", Rm,
+                    jnp.broadcast_to(spec.inertia, (E, L, 3, 3)), Rm)
+
+    # gravity: τ_g = Σ_l Jvᵀ m g  (scaled per-articulation; Isaac
+    # disable_gravity ≙ gravity_scale 0)
+    gscale = jnp.broadcast_to(spec.gravity_scale, (E,))
+    g_force = mass[..., None] * gravity[None, None, :] * gscale[:, None, None]
+    tau = -jnp.einsum("elad,ela->ed", jv, g_force)
+
+    if coriolis:
+        (vdot_b, wdot_b) = jax.jvp(
+            lambda q: link_vels(q)[0], (state.qpos,), (state.qvel,)
+        )[1]
+        gyro = jnp.cross(w, jnp.einsum("elab,elb->ela", Iw, w))
+        tau = tau + jnp.einsum("elad,ela->ed", jv, mass[..., None] * vdot_b)
+        tau = tau + jnp.einsum(
+            "elad,ela->ed", jw, jnp.einsum("elab,elb->ela", Iw, wdot_b) + gyro
+        )
+
+    dm = jnp.broadcast_to(spec.dof_mask, (E, D))
+    return tau * dm
+
+
+class ImplicitBlocks(NamedTuple):
+    """Extra implicit terms for the joint-space solve: rows J [E, C, D] with
+    per-row damping coefficients c and stiffness coefficients k, contributing
+    h·Jᵀdiag(c)J + h²·Jᵀdiag(k)J to the system matrix."""
+
+    J: jnp.ndarray
+    damping: jnp.ndarray
+    stiffness: jnp.ndarray
+
+
+def step_tree(
+    spec: TreeSpec,
+    state: TreeState,
+    fk,
+    M: jnp.ndarray,
+    pos_targets: jnp.ndarray,
+    tau_ext: jnp.ndarray,
+    h: float,
+    gravity: jnp.ndarray,
+    implicit: Optional[ImplicitBlocks] = None,
+    coriolis: bool = True,
+) -> TreeState:
+    """One semi-implicit integration step of a driven articulation.
+
+    Solves (M + h·D_imp + h²·K_imp) q̈ = τ_drive + τ_fric + τ_ext − τ_bias,
+    then  q̇ ← clip(q̇ + h q̈),  q ← clip(q + h q̇)  with joint limits.
+    """
+    E, D = state.qpos.shape
+    q, qv = state.qpos, state.qvel
+    dm = jnp.broadcast_to(spec.dof_mask, (E, D))
+    kp = jnp.broadcast_to(spec.drive_kp, (E, D))
+    kd = jnp.broadcast_to(spec.drive_kd, (E, D))
+    effort = jnp.broadcast_to(spec.dof_effort, (E, D))
+    fric = jnp.broadcast_to(spec.dof_friction, (E, D))
+    damping = jnp.broadcast_to(spec.dof_damping, (E, D))
+
+    # PD drive torque, linearized implicitly:
+    #   τ(q⁺, q̇⁺) ≈ τ₀ − (h²·kp + h·kd)·q̈   with   τ₀ = kp(q* − q − h q̇) − kd q̇
+    tau_d0 = kp * (pos_targets - q - h * qv) - kd * qv
+
+    # Coulomb joint friction, linearized to viscous inside |q̇| < veps.
+    tau_fric = -fric * jnp.clip(qv / _FRICTION_VEPS, -1.0, 1.0)
+    d_fric = fric / _FRICTION_VEPS * (jnp.abs(qv) < _FRICTION_VEPS)
+
+    bias = bias_forces(spec, state, gravity, coriolis=coriolis)
+
+    def assemble(unsat):
+        diag = (h * (kd * unsat + damping + d_fric)
+                + (h * h) * (kp * unsat))
+        A = M + jnp.vectorize(jnp.diag, signature="(d)->(d,d)")(diag * dm)
+        if implicit is not None:
+            A = A + h * jnp.einsum(
+                "ec,ecd,ecf->edf", implicit.damping + h * implicit.stiffness,
+                implicit.J, implicit.J,
+            )
+        return A
+
+    # Pass 1: fully implicit (ignore effort limits), then read off the
+    # end-of-step drive torque each dof would need.  Deciding saturation from
+    # the *implicit* torque (not τ₀) avoids bang-bang chatter at the limit.
+    ones = jnp.ones_like(q)
+    rhs1 = (tau_d0 + tau_fric + tau_ext - bias) * dm
+    qacc1 = jnp.linalg.solve(assemble(ones), rhs1[..., None])[..., 0] * dm
+    tau_imp = tau_d0 - (h * h * kp + h * kd) * qacc1
+    sat = (jnp.abs(tau_imp) > effort).astype(q.dtype)
+    unsat = 1.0 - sat
+
+    # Pass 2: saturated dofs get the constant clamped torque (zero slope ⇒
+    # no implicit drive terms); unsaturated dofs stay fully implicit.  This
+    # is the exact linearization of the clipped PD law (≙ PhysX drive
+    # force limits).
+    tau_drive = sat * jnp.sign(tau_imp) * effort + unsat * tau_d0
+    rhs = (tau_drive + tau_fric + tau_ext - bias) * dm
+    qacc = jnp.linalg.solve(assemble(unsat), rhs[..., None])[..., 0] * dm
+
+    vel_lim = jnp.broadcast_to(spec.dof_vel_limit, (E, D))
+    qv_new = jnp.clip(qv + h * qacc, -vel_lim, vel_lim)
+    q_new = q + h * qv_new
+    lower = jnp.broadcast_to(spec.dof_lower, (E, D))
+    upper = jnp.broadcast_to(spec.dof_upper, (E, D))
+    q_clamped = jnp.clip(q_new, lower, upper)
+    # kill velocity into an active limit
+    at_lo = (q_new < lower) & (qv_new < 0)
+    at_hi = (q_new > upper) & (qv_new > 0)
+    qv_new = jnp.where(at_lo | at_hi, 0.0, qv_new) * dm
+    return state._replace(qpos=q_clamped * dm, qvel=qv_new)

@@ -87,6 +87,10 @@ def build_franka(mobile: bool) -> BuiltTree:
                 axis=(0, 0, 1), lower=lo, upper=up, effort=eff, vel_limit=vel,
                 joint_name=f"panda_joint{j + 1}",
                 mass=_ARM_MASS[j], com=_ARM_COM[j], inertia=_ARM_INERTIA[j],
+                # gear-reflected rotor inertia (harmonic drives); also what
+                # keeps the wrist joints well-conditioned under effort-limited
+                # bang-bang drive forces.
+                armature=0.12 if j < 4 else 0.06,
             )
         )
     # hand: fixed, xyz (0,0,0.107), rpy (0,0,-pi/4)  (urdf:198-208)
