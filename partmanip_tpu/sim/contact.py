@@ -135,12 +135,24 @@ def spheres_vs_boxes(
 
 
 def penalty_forces(cs: ContactSet, v_self, params: SimParams, m_eff: float = 0.1):
-    """Regularized penalty contact forces at each candidate contact.
+    """Regularized penalty contact forces, strictly dissipative per step.
 
-    F = fn·n + ft,  fn = max(0, −kn·φ − cd·vn),  ft = −min(μ fn, kt|vt|)·t̂.
+    F = fn·n + ft with
+
+    * spring   fn_k = max(0, −kn·φ), capped so one inner step cannot impart
+      more than ``max_depenetration_velocity`` (PhysX knob,
+      cfg/base_cfg.yaml:42);
+    * damping  fn_d = cd·max(0, −vn), impulse-capped at m_eff·(−vn)/h so a
+      discrete step can stop the approach but never reverse it (inelastic
+      impact — no penalty-slap energy injection);
+    * friction ft = −min(μ·fn, kt·|vt|, m_eff·|vt|/h)·t̂ with the same
+      no-reversal cap.
+
+    ``m_eff`` is the reduced mass of the pair (pass the lighter body's mass).
     Returns (force [E, C, 3], fn [E, C], active mask [E, C]).
     """
     kn = params.contact_kn
+    h = params.h
     cd = 2.0 * params.contact_damping_ratio * jnp.sqrt(kn * m_eff)
     v_rel = v_self - cs.v_other
     vn = jnp.sum(v_rel * cs.normal, axis=-1)
@@ -148,8 +160,23 @@ def penalty_forces(cs: ContactSet, v_self, params: SimParams, m_eff: float = 0.1
     vt_norm = jnp.linalg.norm(vt, axis=-1)
 
     touching = (cs.depth < 0.0).astype(cs.depth.dtype) * cs.active
-    fn = jnp.maximum(0.0, -kn * cs.depth - cd * vn) * touching
-    ft_mag = jnp.minimum(cs.friction * fn, params.contact_kt * vt_norm)
+    # The impulse caps budget the *total* momentum change of the body, so
+    # each of n simultaneous contacts gets 1/n of it — otherwise multiple
+    # pads over-stop the body, reversing its velocity and pumping energy
+    # (restitution > 1) until it ejects.
+    n_act = jnp.maximum(1.0, jnp.sum(touching, axis=-1, keepdims=True))
+    m_c = m_eff / n_act
+    fn_spring = jnp.minimum(
+        jnp.maximum(0.0, -kn * cs.depth),
+        m_c * params.max_depenetration_velocity / h,
+    )
+    approach = jnp.maximum(0.0, -vn)
+    fn_damp = jnp.minimum(cd * approach, m_c * approach / h)
+    fn = (fn_spring + fn_damp) * touching
+    ft_mag = jnp.minimum(
+        jnp.minimum(cs.friction * fn, params.contact_kt * vt_norm),
+        m_c * vt_norm / h,
+    )
     ft = -ft_mag[..., None] * vt / jnp.maximum(vt_norm, 1e-6)[..., None]
     force = fn[..., None] * cs.normal + ft
     return force, fn, touching

@@ -16,6 +16,7 @@ from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..ops import rotations as rot
 from . import contact, dynamics, kinematics
@@ -70,9 +71,9 @@ def _inner_step(scene: SceneSpec, state: SceneState, pos_targets, h,
     mu_s = jnp.asarray(scene.spheres.friction)
 
     contact_sets = []   # (ContactSet, v_self, m_eff)
-    # 1) robot vs ground
+    # 1) robot vs ground — m_eff ≈ effective mass of the colliding links
     cs_g = contact.spheres_vs_ground(centers, radii, mu_s)
-    contact_sets.append((cs_g, v_s, 1.0))
+    contact_sets.append((cs_g, v_s, 0.5))
 
     # 2) robot vs free body (cube)
     fb_force = None
@@ -87,7 +88,9 @@ def _inner_step(scene: SceneSpec, state: SceneState, pos_targets, h,
                 state.body, pts.reshape(E, -1, 3)).reshape(pts.shape),
         )
         vs_b = v_s[:, :, None, :].repeat(1, axis=2).reshape(E, -1, 3)
-        contact_sets.append((cs_b, vs_b, float(1.0)))
+        # reduced mass of a finger-vs-cube pair ≈ the cube's mass
+        m_cube = float(np.asarray(fb.mass).reshape(-1)[0])
+        contact_sets.append((cs_b, vs_b, m_cube))
 
     # 3) robot vs articulated object boxes
     fk_o = None
@@ -113,7 +116,8 @@ def _inner_step(scene: SceneSpec, state: SceneState, pos_targets, h,
             v_box_fn,
         )
         vs_o = jnp.broadcast_to(v_s[:, :, None, :], (E, S, G, 3)).reshape(E, -1, 3)
-        contact_sets.append((cs_o, vs_o, 1.0))
+        # finger/hand vs cabinet: finger-side effective mass dominates
+        contact_sets.append((cs_o, vs_o, 0.3))
 
     # --- forces + robot torque accumulation + implicit rows ---
     tau_r = jnp.zeros_like(state.robot.qpos)
@@ -192,7 +196,7 @@ def _inner_step(scene: SceneSpec, state: SceneState, pos_targets, h,
         Jp_o = kinematics.point_jacobian(ospec, fk_o, li, cs_o.point)
         tau_o = jnp.einsum("ecad,eca->ed", Jp_o, -force_o)
         Jn_o = jnp.einsum("ecad,eca->ecd", Jp_o, cs_o.normal)
-        cd = 2.0 * p.contact_damping_ratio * jnp.sqrt(p.contact_kn * 1.0)
+        cd = 2.0 * p.contact_damping_ratio * jnp.sqrt(p.contact_kn * 0.3)
         implicit_o = dynamics.ImplicitBlocks(
             J=Jn_o, damping=touch_o * cd, stiffness=touch_o * p.contact_kn
         )

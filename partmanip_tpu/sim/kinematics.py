@@ -60,31 +60,26 @@ def forward_kinematics(spec: TreeSpec, state: TreeState) -> FK:
     jq = rot.quat_from_angle_axis(qlink * is_rev, axis)        # [E, L, 4]
     jt = axis * (qlink * is_pris)[..., None]                   # [E, L, 3]
 
-    pos_list = [state.root_pos]
-    quat_list = [state.root_quat]
     # Root link (index 0): its origin transform is applied relative to the
     # provided root pose (normally identity origin).
     p0, q0 = rot.transform_compose(
         state.root_pos, state.root_quat, origin_pos[:, 0], origin_quat[:, 0]
     )
-    pos_list[0], quat_list[0] = p0, q0
+    link_pos = jnp.zeros((E, L, 3), state.qpos.dtype).at[:, 0].set(p0)
+    link_quat = (jnp.zeros((E, L, 4), state.qpos.dtype)
+                 .at[..., 3].set(1.0).at[:, 0].set(q0))
 
     for l in range(1, L):
-        pstack = jnp.stack(pos_list, axis=1)   # [E, l, 3]
-        qstack = jnp.stack(quat_list, axis=1)  # [E, l, 4]
         pi = jnp.clip(parent[:, l], 0, l - 1)
-        pp = _take_env(pstack, pi[:, None])[:, 0]
-        pq = _take_env(qstack, pi[:, None])[:, 0]
+        pp = _take_env(link_pos, pi[:, None])[:, 0]
+        pq = _take_env(link_quat, pi[:, None])[:, 0]
         # joint frame in world
         jp, jqw = rot.transform_compose(pp, pq, origin_pos[:, l], origin_quat[:, l])
         # child link frame = joint frame ∘ (translation, rotation)
         cp = jp + rot.quat_rotate(jqw, jt[:, l])
         cq = rot.quat_mul(jqw, jq[:, l])
-        pos_list.append(cp)
-        quat_list.append(cq)
-
-    link_pos = jnp.stack(pos_list, axis=1)
-    link_quat = jnp.stack(quat_list, axis=1)
+        link_pos = link_pos.at[:, l].set(cp)
+        link_quat = link_quat.at[:, l].set(cq)
 
     # Per-dof world axis / anchor, gathered at the dof's child link.  The
     # child frame origin lies on the joint axis for revolute joints, and the

@@ -136,6 +136,7 @@ class SimParams(NamedTuple):
     contact_damping_ratio: float = 1.0
     contact_kt: float = 1.0e3    # tangential (friction) damping [N·s/m]
     contact_offset: float = 0.005  # activation distance (physx contact_offset)
+    max_depenetration_velocity: float = 1.0  # ≙ physx, cfg/base_cfg.yaml:42
 
     @property
     def h(self) -> float:

@@ -15,5 +15,9 @@ import jax  # noqa: E402
 # The axon TPU plugin ignores JAX_PLATFORMS; jax.config wins.
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
+# Persistent compilation cache: the sim step is a large graph; caching keeps
+# repeated test runs fast on the single-core CI host.
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
