@@ -62,7 +62,9 @@ def generate_drawer_asset(out_dir: str, split: str, idx: int) -> str:
 
     Returns the created asset directory path.
     """
-    seed = hash((split if split == "valInter" else "train", idx)) % (2 ** 31)
+    import zlib
+    base = "valInter" if split == "valInter" else "train"
+    seed = zlib.crc32(f"{base}-{idx}".encode()) % (2 ** 31)
     rng = np.random.RandomState(seed + (10_000 if split == "valIntra" else 0))
 
     if split == "valInter":

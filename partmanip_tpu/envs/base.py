@@ -44,6 +44,8 @@ class EnvState(NamedTuple):
     epis_max_rew: jnp.ndarray    # f32 [E]
     epis_max_step: jnp.ndarray   # i32 [E]
     rng: jnp.ndarray             # PRNG key
+    task_state: Any = None       # task-specific carried state (e.g. the
+                                 # per-object success bitmap of open_drawer)
 
 
 def init_env_state(sim: SceneState, num_envs: int, rng) -> EnvState:
