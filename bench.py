@@ -1,0 +1,79 @@
+"""Benchmark: aggregate PPO env-steps/sec on open_drawer.
+
+Measures the reference's headline FPS metric (``Progress/FPS``,
+``algorithms/ppo.py:269``): n_steps × num_envs / (collection + learn) for the
+fused train iteration (sim + render-free obs + GAE + updates in one program)
+at the BASELINE.json workload (4096 envs, PPO 8 steps / 5 updates / 8
+minibatches, MLP 512³).
+
+Prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": "env-steps/s", "vs_baseline": N/1e6}
+"""
+
+import argparse
+import json
+import sys
+import time
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--envs", type=int, default=4096)
+    ap.add_argument("--iters", type=int, default=5)
+    ap.add_argument("--task", default="open_drawer")
+    args = ap.parse_args()
+
+    import jax
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from partmanip_tpu import config
+    from partmanip_tpu.algos.ppo import PPO
+
+    class _L:
+        save_ckpt_dir = "/tmp/bench_ckpt"
+
+        def info(self, *a, **k):
+            pass
+
+    cfg, sp = config.process_cfgs([
+        "--taskcfg", args.task,
+        "--algo.num_envs", str(args.envs),
+        "--task.asset.num_objects", "16",
+    ])
+    if args.task == "open_drawer":
+        from partmanip_tpu.envs.open_drawer import OpenDrawerEnv
+        env = OpenDrawerEnv(cfg["task"], sp)
+    else:
+        from partmanip_tpu.envs.grasp_cube import GraspCubeEnv
+        env = GraspCubeEnv(cfg["task"], sp)
+    ppo = PPO(env, cfg["algo"], _L())
+
+    import jax
+    ts, env_state = ppo.init_state(seed=0)
+    # warmup twice: the first call compiles for the weak-typed init state,
+    # the second for the canonical (fed-back) signature used steadily.
+    ts, env_state, metrics = ppo._jit_train_iter(ts, env_state, ppo.lr)
+    ts, env_state, metrics = ppo._jit_train_iter(ts, env_state, ppo.lr)
+    jax.block_until_ready(metrics)
+
+    t0 = time.time()
+    for _ in range(args.iters):
+        ts, env_state, metrics = ppo._jit_train_iter(ts, env_state, ppo.lr)
+    # block_until_ready alone can return early through tunneled TPU
+    # runtimes — force completion with a real scalar fetch.
+    _ = float(list(metrics.values())[0])
+    dt = time.time() - t0
+
+    steps = ppo.n_steps * args.envs * args.iters
+    value = steps / dt
+    print(json.dumps({
+        "metric": f"aggregate_env_steps_per_sec_{args.task}_{args.envs}envs",
+        "value": round(value, 1),
+        "unit": "env-steps/s",
+        "vs_baseline": round(value / 1_000_000, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

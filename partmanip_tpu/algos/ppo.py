@@ -133,7 +133,11 @@ class PPO:
             curr_obs=curr_obs,
             rng=rng,
         )
-        return ts, env_state
+        # canonicalize leaf dtypes (drop weak typing) so the first fed-back
+        # iteration doesn't retrace with a different abstract signature
+        canon = lambda t: jax.tree.map(
+            lambda x: x.astype(x.dtype) if isinstance(x, jnp.ndarray) else x, t)
+        return canon(ts), canon(env_state)
 
     def _select_obs(self, obs: Dict[str, jnp.ndarray]):
         o = obs[self.obs_mode]
@@ -396,10 +400,12 @@ class PPO:
 
     def _lr_now(self):
         if self.lr_schedule == "linear_decay":
-            return max(self.lr * (1 - self.curr_iter / self.max_iter), 1e-5)
+            return np.float32(
+                max(self.lr * (1 - self.curr_iter / self.max_iter), 1e-5))
         if self.lr_schedule == "step_decay":
-            return 1e-5 if self.curr_iter > self.max_iter // 2 else self.lr
-        return self.lr
+            return np.float32(
+                1e-5 if self.curr_iter > self.max_iter // 2 else self.lr)
+        return np.float32(self.lr)
 
     def run(self, seed: int = 0, resume: Optional[str] = None):
         ts, env_state = self.init_state(seed)

@@ -66,6 +66,7 @@ def parse_sim_params(cfg: dict) -> SimParams:
         contact_damping_ratio=float(sim.get("contact_damping_ratio", 1.0)),
         contact_kt=float(sim.get("contact_kt", 1.0e3)),
         contact_offset=float(sim.get("contact_offset", 0.005)),
+        coriolis=bool(sim.get("coriolis", False)),
     )
 
 

@@ -93,10 +93,11 @@ def robot_view(cfg: FrankaControlConfig, spec: TreeSpec, fk,
 def solve_ik(j_eef: jnp.ndarray, dpose: jnp.ndarray) -> jnp.ndarray:
     """Damped least-squares: u = Jᵀ (J Jᵀ + λ²I)⁻¹ dpose
     (≙ ``load_robot.py:142-151``)."""
+    from ..ops.linalg import spd_solve
     lmbda = (IK_DAMPING ** 2) * jnp.eye(6, dtype=dpose.dtype)
     jt = jnp.swapaxes(j_eef, -1, -2)
     A = j_eef @ jt + lmbda
-    return (jt @ jnp.linalg.solve(A, dpose[..., None]))[..., 0]
+    return jnp.einsum("...dk,...k->...d", jt, spd_solve(A, dpose))
 
 
 def compute_targets(cfg: FrankaControlConfig, spec: TreeSpec,

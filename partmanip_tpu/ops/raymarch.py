@@ -1,0 +1,115 @@
+"""Batched SDF-raymarched depth cameras: the TPU-native tiled renderer.
+
+Replaces Isaac Gym's RTX camera tensors (``get_camera_image_gpu_tensor``,
+``tasks/hand_base.py:211-227``): per-env depth images are sphere-traced
+against the scene's analytic SDF (robot collision spheres + object boxes +
+cube + ground — the same primitives the contact solver uses, so rendering
+needs no extra assets).  Output matches the reference's depth convention
+after its sign fix (``hand_base.py:323-324``): **positive z-depth** in the
+camera frame, ``far`` where rays miss.
+
+Rays are generated with z-normalized camera-frame directions so the march
+parameter *is* the z-depth; marching uses fixed-iteration masked updates
+(no data-dependent control flow — one fused XLA loop).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import rotations as rot
+
+
+class ScenePrims(NamedTuple):
+    """Analytic scene primitives for one batch of envs.
+
+    sphere_*: [E, S]; box_*: [E, G]; masks are 1.0 for live prims.
+    """
+
+    sphere_center: jnp.ndarray   # [E, S, 3]
+    sphere_radius: jnp.ndarray   # [E, S]
+    box_pos: jnp.ndarray         # [E, G, 3]
+    box_quat: jnp.ndarray        # [E, G, 4]
+    box_half: jnp.ndarray        # [E, G, 3]
+    box_mask: jnp.ndarray        # [E, G]
+    ground: bool = True
+
+
+def scene_sdf(prims: ScenePrims, p: jnp.ndarray) -> jnp.ndarray:
+    """Min-SDF of the scene at world points p [E, N, 3] → [E, N]."""
+    big = 1e6
+    d = jnp.full(p.shape[:-1], big)
+    if prims.sphere_center is not None:
+        ds = (jnp.linalg.norm(
+            p[:, :, None, :] - prims.sphere_center[:, None, :, :], axis=-1)
+            - prims.sphere_radius[:, None, :])
+        d = jnp.minimum(d, jnp.min(ds, axis=-1))
+    if prims.box_pos is not None:
+        rel = p[:, :, None, :] - prims.box_pos[:, None, :, :]
+        local = rot.quat_rotate_inverse(
+            jnp.broadcast_to(prims.box_quat[:, None], rel.shape[:-1] + (4,)),
+            rel)
+        q = jnp.abs(local) - prims.box_half[:, None, :, :]
+        q_out = jnp.maximum(q, 0.0)
+        db = (jnp.linalg.norm(q_out, axis=-1)
+              + jnp.minimum(jnp.max(q, axis=-1), 0.0))
+        db = jnp.where(prims.box_mask[:, None, :] > 0, db, big)
+        d = jnp.minimum(d, jnp.min(db, axis=-1))
+    if prims.ground:
+        d = jnp.minimum(d, p[..., 2])
+    return d
+
+
+def render_depth(
+    prims: ScenePrims,
+    cam_pose: np.ndarray,     # [V, 4, 4] world-from-camera (OpenCV conv.)
+    intrinsic: np.ndarray,    # [3, 3]
+    im_h: int,
+    im_w: int,
+    n_steps: int = 40,
+    far: float = 100.0,
+    eps: float = 1e-3,
+) -> jnp.ndarray:
+    """Sphere-trace depth images [E, V, H, W] (positive z-depth)."""
+    E = prims.sphere_center.shape[0]
+    V = cam_pose.shape[0]
+    fx, fy = intrinsic[0, 0], intrinsic[1, 1]
+    cx, cy = intrinsic[0, 2], intrinsic[1, 2]
+    u = (np.arange(im_w) - cx) / fx
+    v = (np.arange(im_h) - cy) / fy
+    uu, vv = np.meshgrid(u, v)
+    dirs_cam = np.stack([uu, vv, np.ones_like(uu)], -1).reshape(-1, 3)  # z=1
+    R = cam_pose[:, :3, :3]
+    t = cam_pose[:, :3, 3]
+    dirs_w = np.einsum("nc,vbc->vnb", dirs_cam, R)          # [V, HW, 3]
+    dirs_w = jnp.asarray(dirs_w.astype(np.float32))
+    inv_norm = 1.0 / jnp.linalg.norm(dirs_w, axis=-1)       # [V, HW]
+    origins = jnp.asarray(t.astype(np.float32))             # [V, 3]
+
+    N = im_h * im_w
+
+    def march_view(view):
+        d0 = dirs_w[view][None].repeat(E, 0)                # [E, HW, 3]
+        o = jnp.broadcast_to(origins[view], (E, N, 3))
+        inv = inv_norm[view][None]
+
+        def body(i, tz):
+            p = o + tz[..., None] * d0
+            dist = scene_sdf(prims, p)
+            # advance by the sdf along the *unit* ray, converted to z-depth
+            step = jnp.maximum(dist, 0.0) * inv
+            done = (dist < eps) | (tz > far)
+            return jnp.where(done, tz, tz + step)
+
+        tz = jnp.full((E, N), 0.05)
+        tz = jax.lax.fori_loop(0, n_steps, body, tz)
+        p = o + tz[..., None] * d0
+        hit = scene_sdf(prims, p) < 10 * eps
+        return jnp.where(hit & (tz <= far), tz, far)
+
+    depths = [march_view(v_) for v_ in range(V)]
+    return jnp.stack(depths, axis=1).reshape(E, V, im_h, im_w)

@@ -16,6 +16,7 @@ from typing import NamedTuple
 import jax.numpy as jnp
 
 from ..ops import rotations as rot
+from ..ops.linalg import inv3
 from . import kinematics
 from .types import (BoxGeoms, FreeBodySpec, FreeBodyState, SimParams,
                     SphereGeoms, TreeSpec)
@@ -166,8 +167,12 @@ def penalty_forces(cs: ContactSet, v_self, params: SimParams, m_eff: float = 0.1
     # (restitution > 1) until it ejects.
     n_act = jnp.maximum(1.0, jnp.sum(touching, axis=-1, keepdims=True))
     m_c = m_eff / n_act
+    # velocity-anticipating spring: evaluate the penalty at the predicted
+    # end-of-step gap φ + h·vn (stabilizes the explicitly-integrated bodies
+    # at h = dt/(substeps·inner))
+    depth_pred = cs.depth + h * vn
     fn_spring = jnp.minimum(
-        jnp.maximum(0.0, -kn * cs.depth),
+        jnp.maximum(0.0, -kn * jnp.minimum(cs.depth, depth_pred)),
         m_c * params.max_depenetration_velocity / h,
     )
     approach = jnp.maximum(0.0, -vn)
@@ -193,7 +198,7 @@ def integrate_free_body(
     R = rot.quat_to_mat(state.quat)
     Iw = jnp.einsum("eab,ebc,edc->ead",
                     R, jnp.broadcast_to(spec.inertia, (E, 3, 3)), R)
-    Iw_inv = jnp.linalg.inv(Iw)
+    Iw_inv = inv3(Iw)
 
     linacc = force / m + gravity[None] * gscale
     gyro = jnp.cross(state.angvel, jnp.einsum("eab,eb->ea", Iw, state.angvel))

@@ -26,6 +26,7 @@ from typing import NamedTuple, Optional
 import jax
 import jax.numpy as jnp
 
+from ..ops.linalg import spd_solve
 from . import kinematics
 from .types import TreeSpec, TreeState
 
@@ -57,12 +58,79 @@ def mass_matrix(spec: TreeSpec, fk, E: int) -> jnp.ndarray:
 
 
 def bias_forces(spec: TreeSpec, state: TreeState, gravity: jnp.ndarray,
-                coriolis: bool = True) -> jnp.ndarray:
+                coriolis: bool = True, fk=None) -> jnp.ndarray:
     """Generalized bias τ_bias with  M q̈ = τ_applied − τ_bias.
 
-    τ_bias = C(q, q̇) q̇ + g(q).  The velocity-product term is obtained by
-    differentiating link velocities along the current q̇ with one JVP.
+    τ_bias = C(q, q̇) q̇ + g(q).  The velocity-product term uses the analytic
+    time-derivative of the world-frame Jacobian columns,
+
+        for dof d with world axis a_d, anchor p_d on child link c(d):
+            ȧ_d = ω_{c(d)} × a_d
+            revolute  col:  d/dt [a_d × (x − p_d)] = ȧ_d × (x − p_d)
+                                                     + a_d × (ẋ − ṗ_d)
+            prismatic col:  d/dt a_d = ȧ_d
+
+    — closed-form and branch-free (an autodiff JVP through the FK sweep is
+    numerically identical but makes the XLA:TPU compile blow up; the JVP
+    variant is kept below for cross-validation in tests).
     """
+    E, D = state.qpos.shape
+    L = spec.num_links
+    from ..ops import rotations as rot
+
+    if fk is None:
+        fk = kinematics.forward_kinematics(spec, state)
+    jv, jw, com_w = kinematics.link_jacobians(spec, fk)
+    qv = state.qvel
+    v = jnp.einsum("elad,ed->ela", jv, qv)        # link COM lin vel
+    w = jnp.einsum("elad,ed->ela", jw, qv)        # link ang vel
+
+    mass = jnp.broadcast_to(spec.mass * spec.link_mask, (E, L))
+    Rm = rot.quat_to_mat(fk.link_quat)
+    Iw = jnp.einsum("elab,elbc,eldc->elad", Rm,
+                    jnp.broadcast_to(spec.inertia, (E, L, 3, 3)), Rm)
+
+    # gravity: τ_g = Σ_l Jvᵀ m g  (scaled per-articulation; Isaac
+    # disable_gravity ≙ gravity_scale 0)
+    gscale = jnp.broadcast_to(spec.gravity_scale, (E,))
+    g_force = mass[..., None] * gravity[None, None, :] * gscale[:, None, None]
+    tau = -jnp.einsum("elad,ela->ed", jv, g_force)
+
+    if coriolis:
+        rev, pris = kinematics._dof_kind(spec, E)             # [E, D]
+        dof_child = jnp.broadcast_to(spec.dof_child, (E, D))
+        w_c = kinematics._take_env(w, dof_child)              # [E, D, 3]
+        # anchor (child link origin) velocities via its own jacobian rows
+        j_anchor = kinematics.frame_jacobian(spec, fk, dof_child)  # [E,D,6,Dq]
+        v_anchor = jnp.einsum("edaf,ef->eda", j_anchor[:, :, :3], qv)
+        a = fk.dof_axis_w                                     # [E, D, 3]
+        adot = jnp.cross(w_c, a)
+
+        anc = jnp.broadcast_to(spec.ancestor, (E, L, D))
+        r = com_w[:, :, None, :] - fk.dof_anchor_w[:, None, :, :]   # [E,L,D,3]
+        dv = v[:, :, None, :] - v_anchor[:, None, :, :]             # [E,L,D,3]
+        col_rev = jnp.cross(adot[:, None], r) + jnp.cross(a[:, None], dv)
+        jdotv = ((col_rev * rev[:, None, :, None]
+                  + adot[:, None] * pris[:, None, :, None])
+                 * anc[..., None] * qv[:, None, :, None]).sum(axis=2)  # [E,L,3]
+        jdotw = (adot[:, None] * (rev * qv)[:, None, :, None]
+                 * anc[..., None]).sum(axis=2)                          # [E,L,3]
+
+        gyro = jnp.cross(w, jnp.einsum("elab,elb->ela", Iw, w))
+        tau = tau + jnp.einsum("elad,ela->ed", jv, mass[..., None] * jdotv)
+        tau = tau + jnp.einsum(
+            "elad,ela->ed", jw,
+            jnp.einsum("elab,elb->ela", Iw, jdotw) + gyro)
+
+    dm = jnp.broadcast_to(spec.dof_mask, (E, D))
+    return tau * dm
+
+
+def bias_forces_jvp(spec: TreeSpec, state: TreeState, gravity: jnp.ndarray,
+                    coriolis: bool = True) -> jnp.ndarray:
+    """Autodiff (JVP-through-FK) reference implementation of
+    :func:`bias_forces` — used only by tests to cross-validate the analytic
+    velocity-product terms."""
     E, D = state.qpos.shape
     L = spec.num_links
     from ..ops import rotations as rot
@@ -80,35 +148,29 @@ def bias_forces(spec: TreeSpec, state: TreeState, gravity: jnp.ndarray,
     Rm = rot.quat_to_mat(fk.link_quat)
     Iw = jnp.einsum("elab,elbc,eldc->elad", Rm,
                     jnp.broadcast_to(spec.inertia, (E, L, 3, 3)), Rm)
-
-    # gravity: τ_g = Σ_l Jvᵀ m g  (scaled per-articulation; Isaac
-    # disable_gravity ≙ gravity_scale 0)
     gscale = jnp.broadcast_to(spec.gravity_scale, (E,))
     g_force = mass[..., None] * gravity[None, None, :] * gscale[:, None, None]
     tau = -jnp.einsum("elad,ela->ed", jv, g_force)
-
     if coriolis:
         (vdot_b, wdot_b) = jax.jvp(
-            lambda q: link_vels(q)[0], (state.qpos,), (state.qvel,)
-        )[1]
+            lambda q: link_vels(q)[0], (state.qpos,), (state.qvel,))[1]
         gyro = jnp.cross(w, jnp.einsum("elab,elb->ela", Iw, w))
         tau = tau + jnp.einsum("elad,ela->ed", jv, mass[..., None] * vdot_b)
         tau = tau + jnp.einsum(
-            "elad,ela->ed", jw, jnp.einsum("elab,elb->ela", Iw, wdot_b) + gyro
-        )
-
+            "elad,ela->ed", jw,
+            jnp.einsum("elab,elb->ela", Iw, wdot_b) + gyro)
     dm = jnp.broadcast_to(spec.dof_mask, (E, D))
     return tau * dm
 
 
 class ImplicitBlocks(NamedTuple):
-    """Extra implicit terms for the joint-space solve: rows J [E, C, D] with
-    per-row damping coefficients c and stiffness coefficients k, contributing
-    h·Jᵀdiag(c)J + h²·Jᵀdiag(k)J to the system matrix."""
+    """Extra implicit contact terms for the joint-space solve, aggregated per
+    attachment point: point Jacobians Jp [E, P, 3, D] and 3×3 normal
+    operators N [E, P, 3, 3] (N already carries its h·cd + h²·kn factors),
+    contributing  A += Σ_p Jpᵀ N Jp."""
 
-    J: jnp.ndarray
-    damping: jnp.ndarray
-    stiffness: jnp.ndarray
+    Jp: jnp.ndarray
+    N: jnp.ndarray
 
 
 def step_tree(
@@ -145,17 +207,15 @@ def step_tree(
     tau_fric = -fric * jnp.clip(qv / _FRICTION_VEPS, -1.0, 1.0)
     d_fric = fric / _FRICTION_VEPS * (jnp.abs(qv) < _FRICTION_VEPS)
 
-    bias = bias_forces(spec, state, gravity, coriolis=coriolis)
+    bias = bias_forces(spec, state, gravity, coriolis=coriolis, fk=fk)
 
     def assemble(unsat):
         diag = (h * (kd * unsat + damping + d_fric)
                 + (h * h) * (kp * unsat))
         A = M + jnp.vectorize(jnp.diag, signature="(d)->(d,d)")(diag * dm)
         if implicit is not None:
-            A = A + h * jnp.einsum(
-                "ec,ecd,ecf->edf", implicit.damping + h * implicit.stiffness,
-                implicit.J, implicit.J,
-            )
+            A = A + jnp.einsum(
+                "epad,epab,epbf->edf", implicit.Jp, implicit.N, implicit.Jp)
         return A
 
     # Pass 1: fully implicit (ignore effort limits), then read off the
@@ -163,7 +223,7 @@ def step_tree(
     # the *implicit* torque (not τ₀) avoids bang-bang chatter at the limit.
     ones = jnp.ones_like(q)
     rhs1 = (tau_d0 + tau_fric + tau_ext - bias) * dm
-    qacc1 = jnp.linalg.solve(assemble(ones), rhs1[..., None])[..., 0] * dm
+    qacc1 = spd_solve(assemble(ones), rhs1) * dm
     tau_imp = tau_d0 - (h * h * kp + h * kd) * qacc1
     sat = (jnp.abs(tau_imp) > effort).astype(q.dtype)
     unsat = 1.0 - sat
@@ -174,7 +234,7 @@ def step_tree(
     # force limits).
     tau_drive = sat * jnp.sign(tau_imp) * effort + unsat * tau_d0
     rhs = (tau_drive + tau_fric + tau_ext - bias) * dm
-    qacc = jnp.linalg.solve(assemble(unsat), rhs[..., None])[..., 0] * dm
+    qacc = spd_solve(assemble(unsat), rhs) * dm
 
     vel_lim = jnp.broadcast_to(spec.dof_vel_limit, (E, D))
     qv_new = jnp.clip(qv + h * qacc, -vel_lim, vel_lim)

@@ -3,11 +3,16 @@
 Composes the articulated robot, an optional articulated object (cabinet) and
 an optional free body (cube) with SDF penalty contacts into one fused,
 jittable step (≙ the ``gym.simulate``/``fetch_results`` loop at
-``tasks/hand_base.py:282-284``).  All coupling forces are evaluated at the
-start of each inner substep (simultaneous explicit coupling); the robot's
-solve carries implicit contact damping/stiffness rows so the high-gain PD
-drives stay stable at the PhysX-like timestep (dt=1/60, 4 substeps,
-``cfg/base_cfg.yaml:31``).
+``tasks/hand_base.py:282-284``).
+
+TPU layout strategy: per-contact quantities are kept as *vectors* (forces,
+normals, depths — [E, S·G, 3] at most) and are aggregated **per collision
+sphere** (robot side) and **per box wrench** (object side) before touching
+any Jacobian.  Jacobian tensors therefore never exceed [E, S, 3, D] /
+[E, G, 6, D] — without this, per-contact Jacobians ([E, ~350, 3, 12]) get
+tile-padded to (8, 128) on the minor dims and the step becomes HBM-bound.
+The contact stiffness/damping enters the implicit solve as per-sphere 3×3
+normal operators N = Σ_c coef·n n ᵀ with A += Jᵀ N J — algebraically exact.
 """
 
 from __future__ import annotations
@@ -53,6 +58,11 @@ def obj_box_world(spec: TreeSpec, boxes: BoxGeoms, fk, E: int):
     return bp, bq
 
 
+def _nnT(normal, coef):
+    """Σ over trailing contact axis of coef·n nᵀ → [..., 3, 3]."""
+    return jnp.einsum("...c,...ca,...cb->...ab", coef, normal, normal)
+
+
 def _inner_step(scene: SceneSpec, state: SceneState, pos_targets, h,
                 gravity, coriolis=True) -> SceneState:
     E = state.robot.qpos.shape[0]
@@ -61,7 +71,7 @@ def _inner_step(scene: SceneSpec, state: SceneState, pos_targets, h,
     fk_r = kinematics.forward_kinematics(rspec, state.robot)
     M_r = dynamics.mass_matrix(rspec, fk_r, E)
 
-    # robot collision spheres: world positions, point Jacobians, velocities
+    # robot collision spheres: world positions, per-sphere Jacobians, vels
     S = scene.spheres.link_idx.shape[0]
     centers = contact.sphere_positions(rspec, fk_r, scene.spheres, E)
     sphere_link = jnp.broadcast_to(scene.spheres.link_idx[None], (E, S))
@@ -70,13 +80,24 @@ def _inner_step(scene: SceneSpec, state: SceneState, pos_targets, h,
     radii = jnp.asarray(scene.spheres.radius)
     mu_s = jnp.asarray(scene.spheres.friction)
 
-    contact_sets = []   # (ContactSet, v_self, m_eff)
-    # 1) robot vs ground — m_eff ≈ effective mass of the colliding links
+    # Accumulators: force per sphere [E, S, 3] and the implicit 3×3 normal
+    # operator per sphere (already carrying its h factors).
+    F_sphere = jnp.zeros((E, S, 3))
+    N_sphere = jnp.zeros((E, S, 3, 3))
+
+    def imp_coef(touching, m_eff):
+        cd = 2.0 * p.contact_damping_ratio * jnp.sqrt(p.contact_kn * m_eff)
+        return touching * (h * cd + h * h * p.contact_kn)
+
+    # 1) robot vs ground
     cs_g = contact.spheres_vs_ground(centers, radii, mu_s)
-    contact_sets.append((cs_g, v_s, 0.5))
+    f_g, _, t_g = contact.penalty_forces(cs_g, v_s, p, 0.5)
+    F_sphere = F_sphere + f_g
+    N_sphere = N_sphere + _nnT(cs_g.normal[:, :, None, :],
+                               imp_coef(t_g, 0.5)[:, :, None])
 
     # 2) robot vs free body (cube)
-    fb_force = None
+    cube_wrench = None
     if scene.free_body is not None:
         fb = scene.free_body
         half = jnp.broadcast_to(fb.half_extents, (E, 3))[:, None, :]
@@ -87,14 +108,19 @@ def _inner_step(scene: SceneSpec, state: SceneState, pos_targets, h,
             lambda pts: contact.free_body_point_velocity(
                 state.body, pts.reshape(E, -1, 3)).reshape(pts.shape),
         )
-        vs_b = v_s[:, :, None, :].repeat(1, axis=2).reshape(E, -1, 3)
-        # reduced mass of a finger-vs-cube pair ≈ the cube's mass
         m_cube = float(np.asarray(fb.mass).reshape(-1)[0])
-        contact_sets.append((cs_b, vs_b, m_cube))
+        f_b, _, t_b = contact.penalty_forces(cs_b, v_s, p, m_cube)
+        F_sphere = F_sphere + f_b
+        N_sphere = N_sphere + _nnT(cs_b.normal[:, :, None, :],
+                                   imp_coef(t_b, m_cube)[:, :, None])
+        # reaction wrench on the cube about its COM
+        r = cs_b.point - state.body.pos[:, None, :]
+        cube_wrench = (-jnp.sum(f_b, axis=1),
+                       -jnp.sum(jnp.cross(r, f_b), axis=1))
 
     # 3) robot vs articulated object boxes
     fk_o = None
-    obj_tau = None
+    obj_reaction = None
     if scene.obj_tree is not None:
         ospec = scene.obj_tree
         fk_o = kinematics.forward_kinematics(ospec, state.obj)
@@ -102,13 +128,23 @@ def _inner_step(scene: SceneSpec, state: SceneState, pos_targets, h,
         G = bp.shape[1]
         box_link = jnp.broadcast_to(scene.obj_boxes.link_idx, (E, G))
 
-        def v_box_fn(pts):
-            flat = pts.reshape(E, S * G, 3)
-            li = jnp.broadcast_to(box_link[:, None, :], (E, S, G)).reshape(E, S * G)
-            Jp_o = kinematics.point_jacobian(ospec, fk_o, li, flat)
-            return jnp.einsum("ecad,ed->eca", Jp_o, state.obj.qvel).reshape(pts.shape)
+        # per-box spatial jacobians at link origin → shifted to box center
+        J6 = kinematics.frame_jacobian(ospec, fk_o, box_link)  # [E,G,6,Do]
+        Jw_box = J6[:, :, 3:, :]
+        r_box = bp - kinematics._take_env(fk_o.link_pos, box_link)
+        # Jv at box center: Jv_o + Jw × r  (column-wise cross)
+        Jv_box = J6[:, :, :3, :] + jnp.cross(
+            jnp.swapaxes(Jw_box, -1, -2), r_box[:, :, None, :]
+        ).swapaxes(-1, -2)
+        qv_o = state.obj.qvel
+        v_bc = jnp.einsum("egad,ed->ega", Jv_box, qv_o)   # box center vel
+        w_b = jnp.einsum("egad,ed->ega", Jw_box, qv_o)    # box angular vel
 
-        cs_o, box_idx = contact.spheres_vs_boxes(
+        def v_box_fn(pts):  # pts [E, S, G, 3]
+            r = pts - bp[:, None, :, :]
+            return v_bc[:, None, :, :] + jnp.cross(w_b[:, None, :, :], r)
+
+        cs_o, _ = contact.spheres_vs_boxes(
             centers, radii, mu_s, bp, bq,
             jnp.broadcast_to(scene.obj_boxes.half_extents, (E, G, 3)),
             jnp.broadcast_to(scene.obj_boxes.geom_mask, (E, G)),
@@ -116,90 +152,65 @@ def _inner_step(scene: SceneSpec, state: SceneState, pos_targets, h,
             v_box_fn,
         )
         vs_o = jnp.broadcast_to(v_s[:, :, None, :], (E, S, G, 3)).reshape(E, -1, 3)
-        # finger/hand vs cabinet: finger-side effective mass dominates
-        contact_sets.append((cs_o, vs_o, 0.3))
+        f_o, _, t_o = contact.penalty_forces(cs_o, vs_o, p, 0.3)
+        f_osg = f_o.reshape(E, S, G, 3)
+        t_osg = t_o.reshape(E, S, G)
+        n_osg = cs_o.normal.reshape(E, S, G, 3)
+        F_sphere = F_sphere + jnp.sum(f_osg, axis=2)
+        N_sphere = N_sphere + _nnT(n_osg, imp_coef(t_osg, 0.3))
 
-    # --- forces + robot torque accumulation + implicit rows ---
-    tau_r = jnp.zeros_like(state.robot.qpos)
-    imp_J, imp_d, imp_k = [], [], []
-    forces_per_set = []
-    for cs, v_self, m_eff in contact_sets:
-        force, fn, touching = contact.penalty_forces(cs, v_self, p, m_eff)
-        forces_per_set.append((cs, force, touching))
-        Jp_c = jnp.take_along_axis(
-            Jp_s, cs.sphere_idx[:, :, None, None].repeat(3, 2).repeat(
-                Jp_s.shape[-1], 3), axis=1,
-        )  # [E, C, 3, D]
-        tau_r = tau_r + jnp.einsum("ecad,eca->ed", Jp_c, force)
-        Jn = jnp.einsum("ecad,eca->ecd", Jp_c, cs.normal)
-        cd = 2.0 * p.contact_damping_ratio * jnp.sqrt(p.contact_kn * m_eff)
-        imp_J.append(Jn)
-        imp_d.append(touching * cd)
-        imp_k.append(touching * p.contact_kn)
+        # reaction on the object: per-box wrench about the box center
+        pts = cs_o.point.reshape(E, S, G, 3)
+        rr = pts - bp[:, None, :, :]
+        F_box = -jnp.sum(f_osg, axis=1)                     # [E, G, 3]
+        T_box = -jnp.sum(jnp.cross(rr, f_osg), axis=1)      # [E, G, 3]
+        tau_o = (jnp.einsum("egad,ega->ed", Jv_box, F_box)
+                 + jnp.einsum("egad,ega->ed", Jw_box, T_box))
+        N_box = jnp.einsum("esg,esga,esgb->egab",
+                           imp_coef(t_osg, 0.3), n_osg, n_osg)
+        obj_reaction = (tau_o, Jv_box, N_box)
 
-    implicit = dynamics.ImplicitBlocks(
-        J=jnp.concatenate(imp_J, axis=1),
-        damping=jnp.concatenate(imp_d, axis=1),
-        stiffness=jnp.concatenate(imp_k, axis=1),
-    )
+    implicit = dynamics.ImplicitBlocks(Jp=Jp_s, N=N_sphere)
+    tau_r = jnp.einsum("esad,esa->ed", Jp_s, F_sphere)
 
     robot_new = dynamics.step_tree(
         rspec, state.robot, fk_r, M_r, pos_targets, tau_r, h, gravity,
         implicit=implicit, coriolis=coriolis,
     )
 
-    # --- object-side reactions ---
+    # --- object-side integration ---
     body_new = state.body
     if scene.free_body is not None:
-        cs_b, force_b, _ = forces_per_set[1]
-        # reaction on the cube: −F at the contact points
-        f_cube = -jnp.sum(force_b, axis=1)
-        torque_cube = -jnp.sum(
-            jnp.cross(cs_b.point - state.body.pos[:, None, :], force_b), axis=1
-        )
+        f_cube, torque_cube = cube_wrench
         # cube corners vs ground
         corners_l = contact.box_corners(scene.free_body.half_extents, E)
         corners_w = state.body.pos[:, None, :] + rot.quat_rotate(
-            state.body.quat[:, None, :], corners_l
-        )
+            state.body.quat[:, None, :], corners_l)
         v_c = contact.free_body_point_velocity(state.body, corners_w)
-        depth_c = corners_w[..., 2]
         n_c = jnp.zeros_like(corners_w).at[..., 2].set(1.0)
         cs_c = contact.ContactSet(
-            point=corners_w, normal=n_c, depth=depth_c,
+            point=corners_w, normal=n_c, depth=corners_w[..., 2],
             active=jnp.ones((E, 8)),
             sphere_idx=jnp.zeros((E, 8), jnp.int32),
             friction=jnp.broadcast_to(
-                0.5 * (scene.free_body.friction + 0.1), (E,))[:, None].repeat(8, 1),
+                0.5 * (scene.free_body.friction + 0.1),
+                (E,))[:, None].repeat(8, 1),
             v_other=jnp.zeros_like(corners_w),
         )
         force_c, _, _ = contact.penalty_forces(
-            cs_c, v_c, p, float(scene.free_body.mass.reshape(-1)[0]) / 4.0
-        )
+            cs_c, v_c, p, float(np.asarray(
+                scene.free_body.mass).reshape(-1)[0]) / 4.0)
         f_cube = f_cube + jnp.sum(force_c, axis=1)
         torque_cube = torque_cube + jnp.sum(
-            jnp.cross(corners_w - state.body.pos[:, None, :], force_c), axis=1
-        )
+            jnp.cross(corners_w - state.body.pos[:, None, :], force_c), axis=1)
         body_new = contact.integrate_free_body(
-            scene.free_body, state.body, f_cube, torque_cube, h, gravity
-        )
+            scene.free_body, state.body, f_cube, torque_cube, h, gravity)
 
     obj_new = state.obj
     if scene.obj_tree is not None:
         ospec = scene.obj_tree
-        cs_o, force_o, touch_o = forces_per_set[-1]
-        G = scene.obj_boxes.link_idx.shape[-1]
-        li = jnp.broadcast_to(
-            jnp.broadcast_to(scene.obj_boxes.link_idx, (E, G))[:, None, :],
-            (E, S, G),
-        ).reshape(E, S * G)
-        Jp_o = kinematics.point_jacobian(ospec, fk_o, li, cs_o.point)
-        tau_o = jnp.einsum("ecad,eca->ed", Jp_o, -force_o)
-        Jn_o = jnp.einsum("ecad,eca->ecd", Jp_o, cs_o.normal)
-        cd = 2.0 * p.contact_damping_ratio * jnp.sqrt(p.contact_kn * 0.3)
-        implicit_o = dynamics.ImplicitBlocks(
-            J=Jn_o, damping=touch_o * cd, stiffness=touch_o * p.contact_kn
-        )
+        tau_o, Jv_box, N_box = obj_reaction
+        implicit_o = dynamics.ImplicitBlocks(Jp=Jv_box, N=N_box)
         M_o = dynamics.mass_matrix(ospec, fk_o, E)
         obj_new = dynamics.step_tree(
             ospec, state.obj, fk_o, M_o, state.obj.qpos, tau_o, h, gravity,
@@ -209,8 +220,8 @@ def _inner_step(scene: SceneSpec, state: SceneState, pos_targets, h,
     return SceneState(robot=robot_new, obj=obj_new, body=body_new)
 
 
-def physics_step(scene: SceneSpec, state: SceneState, pos_targets,
-                 coriolis: bool = True) -> SceneState:
+def physics_step(scene: SceneSpec, state: SceneState,
+                 pos_targets) -> SceneState:
     """Advance one control step: substeps × inner_substeps inner steps with
     constant PD targets (≙ ``gym.set_dof_position_target_tensor`` +
     ``control_freq_inv`` loop in ``hand_base.py:282-284``)."""
@@ -220,7 +231,8 @@ def physics_step(scene: SceneSpec, state: SceneState, pos_targets,
     gravity = jnp.array([0.0, 0.0, p.gravity])
 
     def body(carry, _):
-        return _inner_step(scene, carry, pos_targets, h, gravity, coriolis), None
+        return _inner_step(scene, carry, pos_targets, h, gravity,
+                           p.coriolis), None
 
     state, _ = jax.lax.scan(body, state, None, length=n)
     return state

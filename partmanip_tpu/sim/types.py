@@ -137,6 +137,10 @@ class SimParams(NamedTuple):
     contact_kt: float = 1.0e3    # tangential (friction) damping [N·s/m]
     contact_offset: float = 0.005  # activation distance (physx contact_offset)
     max_depenetration_velocity: float = 1.0  # ≙ physx, cfg/base_cfg.yaml:42
+    # Velocity-product (Coriolis/centrifugal) terms. Negligible against the
+    # 1e3 joint damping + PD drives of the PartManip scenes; the analytic
+    # term stays available for generic articulations.
+    coriolis: bool = True
 
     @property
     def h(self) -> float:

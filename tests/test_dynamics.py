@@ -271,3 +271,43 @@ class TestBoxSDF:
         d, n = contact.box_sdf(jnp.array([0.15, 0.0, 0.0]), jnp.array([0.2, 0.2, 0.2]))
         assert abs(float(d) + 0.05) < 1e-6
         np.testing.assert_allclose(np.asarray(n), [1, 0, 0], atol=1e-6)
+
+
+class TestAnalyticBias:
+    def test_matches_jvp_reference(self):
+        """The closed-form J̇q̇ velocity-product terms equal the
+        autodiff-JVP formulation on a random articulated state."""
+        built = franka.build_franka(mobile=True)
+        spec = built.spec
+        D = spec.dof_mask.shape[-1]
+        q = jax.random.uniform(jax.random.PRNGKey(5), (3, D), minval=-0.8,
+                               maxval=0.8)
+        qv = jax.random.normal(jax.random.PRNGKey(6), (3, D))
+        st = TreeState(qpos=q, qvel=qv, root_pos=jnp.zeros((3, 3)),
+                       root_quat=jnp.tile(jnp.array([0.0, 0, 0, 1]), (3, 1)))
+        spec = spec._replace(gravity_scale=np.ones(1, np.float32))
+        b1 = dynamics.bias_forces(spec, st, GRAV)
+        b2 = dynamics.bias_forces_jvp(spec, st, GRAV)
+        np.testing.assert_allclose(np.asarray(b1), np.asarray(b2),
+                                   rtol=1e-4, atol=1e-3)
+
+    def test_matches_on_heterogeneous_object(self):
+        t0 = builder.build_tree([
+            builder.LinkDef("base", mass=1.0, inertia=(0.1,) * 3),
+            builder.LinkDef("arm", parent="base", joint_type=JOINT_REVOLUTE,
+                            origin_pos=(0, 0, 0.5), axis=(0, 1, 0),
+                            lower=-5, upper=5, mass=2.0, com=(0.3, 0, 0),
+                            inertia=(0.02,) * 3),
+            builder.LinkDef("slider", parent="arm", joint_type=JOINT_PRISMATIC,
+                            origin_pos=(0.5, 0, 0), axis=(1, 0, 0),
+                            lower=-1, upper=1, mass=0.5, inertia=(0.01,) * 3),
+        ])
+        spec = t0.spec
+        st = TreeState(qpos=jnp.array([[0.7, 0.2]]),
+                       qvel=jnp.array([[1.5, -0.8]]),
+                       root_pos=jnp.zeros((1, 3)),
+                       root_quat=jnp.array([[0.0, 0, 0, 1]]))
+        b1 = dynamics.bias_forces(spec, st, GRAV)
+        b2 = dynamics.bias_forces_jvp(spec, st, GRAV)
+        np.testing.assert_allclose(np.asarray(b1), np.asarray(b2),
+                                   rtol=1e-4, atol=1e-4)

@@ -167,3 +167,25 @@ class TestTransforms:
         p0, q0 = rot.transform_compose(pa, qa, pi, qi)
         np.testing.assert_allclose(p0, 0.0, atol=1e-5)
         np.testing.assert_allclose(jnp.abs(q0[:, 3]), 1.0, atol=1e-5)
+
+
+class TestLinalg:
+    def test_spd_solve_matches_numpy(self):
+        from partmanip_tpu.ops.linalg import spd_solve
+        rng = np.random.RandomState(0)
+        B = rng.randn(16, 12, 12).astype(np.float32)
+        A = np.einsum("eij,ekj->eik", B, B) + 0.1 * np.eye(12, dtype=np.float32)
+        b = rng.randn(16, 12).astype(np.float32)
+        x = np.asarray(spd_solve(jnp.asarray(A), jnp.asarray(b)))
+        expect = np.stack([np.linalg.solve(A[i], b[i]) for i in range(16)])
+        np.testing.assert_allclose(x, expect, rtol=2e-3, atol=1e-4)
+
+    def test_inv3(self):
+        from partmanip_tpu.ops.linalg import inv3
+        rng = np.random.RandomState(1)
+        A = rng.randn(8, 3, 3).astype(np.float32)
+        A = A @ np.transpose(A, (0, 2, 1)) + 0.5 * np.eye(3, dtype=np.float32)
+        inv = np.asarray(inv3(jnp.asarray(A)))
+        np.testing.assert_allclose(
+            np.einsum("eij,ejk->eik", A, inv),
+            np.broadcast_to(np.eye(3), (8, 3, 3)), atol=1e-4)

@@ -10,6 +10,10 @@ import random
 import sys
 
 import numpy as np
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 from partmanip_tpu.config import process_cfgs
 from partmanip_tpu.utils.logger import Logger
