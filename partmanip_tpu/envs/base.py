@@ -78,6 +78,7 @@ def pre_physics(
     explore_step: int,
     max_episode_length: int,
     train: bool,
+    force_reset=None,
 ) -> Tuple[EnvState, jnp.ndarray, Dict[str, jnp.ndarray]]:
     """Reset decision + partial reset + target overlay.
 
@@ -90,6 +91,9 @@ def pre_physics(
                                   state.epis_max_step, state.progress)
         epis_max_rew = jnp.maximum(state.rew_buf, state.epis_max_rew)
         reset_buf = (state.progress >= epis_max_step + explore_step) | state.success
+        if force_reset is not None:
+            # external reset requests (DAgger's reward-driven early reset)
+            reset_buf = reset_buf | force_reset
         reset_succ = state.success
         extras["succ_rate"] = (
             state.success.astype(jnp.float32).sum(keepdims=True)

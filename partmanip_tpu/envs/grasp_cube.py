@@ -23,7 +23,7 @@ import numpy as np
 from ..ops import rotations as rot
 from ..sim import engine, franka, kinematics
 from ..sim.types import FreeBodySpec, FreeBodyState, SimParams, TreeState
-from . import base, control
+from . import base, control, vision
 from .base import EnvState
 
 RESET_RANGE = 0.15          # grasp_cube.py:17
@@ -83,12 +83,36 @@ class GraspCubeEnv:
         self.pose_upper = np.array(
             [RESET_RANGE, RESET_RANGE, 0.4, 1, 1, 1, 1], np.float32)
 
-        D = self.built.spec.dof_mask.shape[-1]
         self.num_dofs = self.ctrl.num_dofs
         self.num_obs = dict(cfg["obs_mode"])
-        self.num_obs_flat = {
-            k: (v if isinstance(v, int) else None)
-            for k, v in self.num_obs.items()}
+        self._init_vision(cfg)
+
+    def _init_vision(self, cfg):
+        """Vision rig + flattened obs sizes (≙ hand_base.py:45-54: tsdf
+        modes get resolution³ dims, +proprio when add_proprio_obs)."""
+        mode = self.learn_input_mode
+        self.vision_rig = None
+        if mode != "normal_state" and mode != "proprio_state":
+            self.vision_rig = vision.VisionRig(
+                cfg["cam"], cfg["obs_mode"]["tsdf"], mode,
+                im_scale=cfg.get("im_scale", 1))
+        if "tsdf" in mode:
+            self.num_obs[mode] = int(cfg["obs_mode"]["tsdf"]["resolution"]) ** 3
+        if self.add_proprio_obs and mode in self.num_obs \
+                and mode != "proprio_state":
+            self.num_obs[mode] += self.num_obs["proprio_state"]
+
+    def _vision_obs(self, state, obs):
+        """Append the configured vision mode to the obs dict (with proprio
+        concatenation ≙ grasp_cube.py:134-137)."""
+        if self.vision_rig is None:
+            return obs
+        v = vision.render_obs(self, self.vision_rig, state.sim)
+        obs.update(v)
+        if self.add_proprio_obs and "proprio_state" in obs:
+            m = self.learn_input_mode
+            obs[m] = jnp.concatenate([obs[m], obs["proprio_state"]], axis=-1)
+        return obs
 
     # ------------------------------------------------------------------
     # state init / reset
@@ -150,6 +174,7 @@ class GraspCubeEnv:
         sim = engine.physics_step(self.scene, sim, targets)
         state = base.init_env_state(sim, E, rng)
         obs, _ = self._observations(state)
+        obs = self._vision_obs(state, obs)
         return state, obs
 
     # ------------------------------------------------------------------
@@ -228,7 +253,8 @@ class GraspCubeEnv:
     # step
     # ------------------------------------------------------------------
 
-    def step(self, state: EnvState, actions, train: bool = True):
+    def step(self, state: EnvState, actions, train: bool = True,
+             force_reset=None):
         """One env step. Returns (state', obs_dict, rew, reset, extras)."""
         E = self.num_envs
         view, _ = self._robot_view(state.sim)
@@ -237,13 +263,15 @@ class GraspCubeEnv:
         default_targets = jnp.tile(jnp.asarray(self.default_dof), (E, 1))
         state, final_targets, pre_extras = base.pre_physics(
             state, targets, default_targets, self._reset_sim_fn,
-            self.explore_step, self.max_episode_length, train)
+            self.explore_step, self.max_episode_length, train,
+            force_reset=force_reset)
 
         sim = base.run_physics(self.scene, state.sim, final_targets,
                                self.control_freq_inv)
         state = state._replace(sim=sim, progress=state.progress + 1)
 
         obs, view = self._observations(state)
+        obs = self._vision_obs(state, obs)
         rew, success, extras = self._reward(state, view, actions)
         extras.update(pre_extras)
         state = state._replace(rew_buf=rew, success=success)

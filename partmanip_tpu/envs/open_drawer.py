@@ -125,6 +125,31 @@ class OpenDrawerEnv:
         self.default_dof = np.asarray(rcfg["dof"], np.float32)
         self.default_root = np.asarray(rcfg["root"], np.float32)
         self.num_obs = dict(cfg["obs_mode"])
+        self._init_vision(cfg)
+
+    def _init_vision(self, cfg):
+        """Vision rig + flattened obs sizes (≙ hand_base.py:45-54)."""
+        mode = self.learn_input_mode
+        self.vision_rig = None
+        if mode != "normal_state" and mode != "proprio_state":
+            self.vision_rig = vision.VisionRig(
+                cfg["cam"], cfg["obs_mode"]["tsdf"], mode,
+                im_scale=cfg.get("im_scale", 1))
+        if "tsdf" in mode:
+            self.num_obs[mode] = int(cfg["obs_mode"]["tsdf"]["resolution"]) ** 3
+        if self.add_proprio_obs and mode in self.num_obs \
+                and mode != "proprio_state":
+            self.num_obs[mode] += self.num_obs["proprio_state"]
+
+    def _vision_obs(self, state, obs):
+        if self.vision_rig is None:
+            return obs
+        v = vision.render_obs(self, self.vision_rig, state.sim)
+        obs.update(v)
+        if self.add_proprio_obs and "proprio_state" in obs:
+            m = self.learn_input_mode
+            obs[m] = jnp.concatenate([obs[m], obs["proprio_state"]], axis=-1)
+        return obs
 
     # ------------------------------------------------------------------
 
@@ -188,6 +213,7 @@ class OpenDrawerEnv:
         st = base.init_env_state(sim, E, rng)
         st = st._replace(task_state=state.task_state)
         obs, _, _ = self._observations(st)
+        obs = self._vision_obs(st, obs)
         return st, obs
 
     # ------------------------------------------------------------------
@@ -312,7 +338,8 @@ class OpenDrawerEnv:
 
     # ------------------------------------------------------------------
 
-    def step(self, state: EnvState, actions, train: bool = True):
+    def step(self, state: EnvState, actions, train: bool = True,
+             force_reset=None):
         E = self.num_envs
         view, _ = self._robot_view(state.sim)
         targets = control.compute_targets(self.ctrl, self.scene.robot, view,
@@ -321,7 +348,8 @@ class OpenDrawerEnv:
         task_state = state.task_state
         state, final_targets, pre_extras = base.pre_physics(
             state, targets, default_targets, self._reset_sim_fn,
-            self.explore_step, self.max_episode_length, train)
+            self.explore_step, self.max_episode_length, train,
+            force_reset=force_reset)
 
         sim = base.run_physics(self.scene, state.sim, final_targets,
                                self.control_freq_inv)
@@ -329,6 +357,7 @@ class OpenDrawerEnv:
                                task_state=task_state)
 
         obs, view, part_bbox = self._observations(state)
+        obs = self._vision_obs(state, obs)
         rew, success, succ_objid, extras = self._reward(
             state, view, part_bbox, actions)
         extras.update(pre_extras)

@@ -1,0 +1,148 @@
+"""BC / DAgger / vision-obs tests (SURVEY.md §2 #7-8, §3.4)."""
+
+import os
+import tempfile
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from partmanip_tpu import config
+from partmanip_tpu.envs.grasp_cube import GraspCubeEnv
+from partmanip_tpu.utils import checkpoint as ckpt_lib
+
+
+class DummyLogger:
+    save_ckpt_dir = "/tmp/partmanip_distill_ckpt"
+
+    def info(self, record, iteration):
+        pass
+
+
+def small_cfg(extra=()):
+    return config.process_cfgs([
+        "--algocfg", "dagger",
+        "--algo.num_envs", "2", "--sim.inner_substeps", "1",
+        "--task.maxEpisodeLength", "4",
+        "--task.obs_mode.tsdf.resolution", "8",
+        "--algo.model.network.name", "MLP",
+        *extra,
+    ])
+
+
+@pytest.fixture(scope="module")
+def vision_env():
+    cfg, sp = small_cfg()
+    cfg["task"]["im_scale"] = 8
+    env = GraspCubeEnv(cfg["task"], sp)
+    return env, cfg, sp
+
+
+class TestVisionObs:
+    def test_mesh_tsdf_obs(self, vision_env):
+        env, cfg, sp = vision_env
+        assert env.learn_input_mode == "mesh_tsdf"
+        # 8³ + proprio 25
+        assert env.num_obs["mesh_tsdf"] == 512 + 25
+        state = env.init_state(jax.random.PRNGKey(0))
+        state, obs = jax.jit(env.reset)(state)
+        assert obs["mesh_tsdf"].shape == (2, 537)
+        vol = np.asarray(obs["mesh_tsdf"][:, :512])
+        assert vol.min() >= -1.0 and vol.max() <= 1.0
+        # the volume must see *something*: both signs present (robot/cube
+        # inside the workspace → negative region, free space → +1)
+        assert (vol < 0).any() and (vol > 0.9).any()
+
+    def test_depth_img_obs(self):
+        cfg, sp = small_cfg(["--algo.obs_mode", "depth_img"])
+        env = GraspCubeEnv(cfg["task"], sp)
+        state = env.init_state(jax.random.PRNGKey(0))
+        state, obs = jax.jit(env.reset)(state)
+        assert obs["depth_img"].shape == (2, 72 * 128 + 25)
+        img = np.asarray(obs["depth_img"][0, :72 * 128])
+        assert img.min() > 0.1     # nearest surface
+        assert (img < 5).sum() > 100  # scene occupies part of the view
+
+
+def make_teacher_ckpt(path, env, model_cfg):
+    """A PPO-format teacher checkpoint on normal_state."""
+    from partmanip_tpu.models.actor_critic import ActorCritic
+    ac = ActorCritic(env.num_obs["normal_state"], env.num_actions, model_cfg)
+    params = ac.init(jax.random.PRNGKey(1))
+    ckpt_lib.save(path, {
+        "iteration": 0, "params": params, "opt_actor": None,
+        "opt_critic": None, "rms": None, "update_rms": False,
+        "total_steps": 0,
+        "tricks": {"mini_adv_norm": False, "whole_adv_norm": False,
+                   "use_state_norm": False, "use_clipped_value_loss": False,
+                   "use_grad_clip": True},
+        "obs_mode": "normal_state", "model_cfg": model_cfg,
+    })
+
+
+class TestDAgger:
+    def test_dagger_iterations(self, vision_env):
+        env, cfg, sp = vision_env
+        from partmanip_tpu.algos.dagger import DAgger
+        model_cfg = {"action_std": 0.1, "action_activate": "tanh",
+                     "clipAction": 1.0,
+                     "network": {"name": "MLP", "hid_dim": [32],
+                                 "activation": "tanh"}}
+        with tempfile.TemporaryDirectory() as td:
+            tpath = os.path.join(td, "teacher.ckpt")
+            make_teacher_ckpt(tpath, env, model_cfg)
+            acfg = dict(cfg["algo"])
+            acfg.update({"teacher": tpath, "buf_size": 8, "n_steps": 2,
+                         "n_updates": 1, "n_minibatches": 2,
+                         "reward_reset": False, "model": model_cfg,
+                         "test_only": False})
+            dag = DAgger(env, acfg, DummyLogger())
+            ts, es = dag.init_state(seed=0)
+            for _ in range(2):
+                ts, es, metrics = dag._jit_iter(ts, es, np.float32(1e-3))
+            m = {k: float(v) for k, v in metrics.items()}
+            assert np.isfinite(m["Train/dagger_loss"])
+            assert m["Train/cur_buf_size"] == 8  # 2 steps × 2 envs × 2 iters
+            # student moved
+            p0 = dag.init_state(seed=0)[0].student
+            diff = max(abs(np.asarray(a - b)).max() for a, b in zip(
+                jax.tree.leaves(ts.student.actor),
+                jax.tree.leaves(p0.actor)))
+            assert diff > 0
+
+
+class TestBC:
+    def test_bc_learns_constant_action(self, vision_env):
+        env, cfg, sp = vision_env
+        from partmanip_tpu.algos.bc import BC
+        res = 8
+        with tempfile.TemporaryDirectory() as td:
+            rng = np.random.RandomState(0)
+            for s in range(2):
+                d = os.path.join(td, f"scene_{s:05d}")
+                os.makedirs(d)
+                for t in range(10):
+                    np.save(os.path.join(d, f"step_{t:05d}.npy"), {
+                        "tsdf": rng.randn(res, res, res).astype(np.float32),
+                        "proprio_state": rng.randn(25).astype(np.float32),
+                        "action": np.full(env.num_actions, 0.3, np.float32),
+                        "tea_obs": np.zeros(37, np.float32),
+                    })
+            acfg = dict(cfg["algo"])
+            acfg.update({
+                "algo": "bc", "data_path": td, "max_iterations": 30,
+                "n_minibatches": 2, "lr": 1e-2, "lr_schedule": "fixed",
+                "save_frequence": 1000, "eval_round": 1,
+                "eval_frequence": 1000,
+                "model": {"action_std": 0.0, "action_activate": "tanh",
+                          "clipAction": 1.0,
+                          "network": {"name": "MLP", "hid_dim": [32],
+                                      "activation": "tanh"}},
+            })
+            bc = BC(env, acfg, DummyLogger())
+            params = bc.run(seed=0)
+            # after fitting, predictions approach the constant action
+            obs, act = jax.random.normal(jax.random.PRNGKey(2), (4, bc.num_obs)), 0.3
+            pred = np.asarray(bc.student.update_act(params, obs))
+            assert abs(pred.mean() - 0.3) < 0.15
