@@ -65,44 +65,35 @@ def forward_kinematics(spec: TreeSpec, state: TreeState) -> FK:
     p0, q0 = rot.transform_compose(
         state.root_pos, state.root_quat, origin_pos[:, 0], origin_quat[:, 0]
     )
-    # Static-topology fast path: when the spec's parent table is shared
-    # across envs (the robot; also homogeneous object sets) the parent
-    # lookup is a compile-time constant — no per-link gather ops, which
-    # otherwise dominate this latency-bound sequential sweep on TPU.
+    # Static topologies (shared parent table) use compile-time parent
+    # indices — a plain buffer slice instead of a per-env gather. (A variant
+    # threading link poses through Python lists + one final stack was tried:
+    # it makes XLA:CPU compile superlinearly on composite graphs.)
     static_parents = None
     if hasattr(spec.parent, "shape") and spec.parent.shape[0] == 1:
         import numpy as _np
         if isinstance(spec.parent, _np.ndarray):
             static_parents = [int(x) for x in spec.parent[0]]
 
-    pos_list = [p0]
-    quat_list = [q0]
-    if static_parents is not None:
-        for l in range(1, L):
+    link_pos = jnp.zeros((E, L, 3), state.qpos.dtype).at[:, 0].set(p0)
+    link_quat = (jnp.zeros((E, L, 4), state.qpos.dtype)
+                 .at[..., 3].set(1.0).at[:, 0].set(q0))
+    for l in range(1, L):
+        if static_parents is not None:
             pi = max(static_parents[l], 0)
-            pp, pq = pos_list[pi], quat_list[pi]
-            jp, jqw = rot.transform_compose(
-                pp, pq, origin_pos[:, l], origin_quat[:, l])
-            pos_list.append(jp + rot.quat_rotate(jqw, jt[:, l]))
-            quat_list.append(rot.quat_mul(jqw, jq[:, l]))
-        link_pos = jnp.stack(pos_list, axis=1)
-        link_quat = jnp.stack(quat_list, axis=1)
-    else:
-        link_pos = jnp.zeros((E, L, 3), state.qpos.dtype).at[:, 0].set(p0)
-        link_quat = (jnp.zeros((E, L, 4), state.qpos.dtype)
-                     .at[..., 3].set(1.0).at[:, 0].set(q0))
-        for l in range(1, L):
-            pi = jnp.clip(parent[:, l], 0, l - 1)
-            pp = _take_env(link_pos, pi[:, None])[:, 0]
-            pq = _take_env(link_quat, pi[:, None])[:, 0]
-            # joint frame in world
-            jp, jqw = rot.transform_compose(pp, pq, origin_pos[:, l],
-                                            origin_quat[:, l])
-            # child link frame = joint frame ∘ (translation, rotation)
-            cp = jp + rot.quat_rotate(jqw, jt[:, l])
-            cq = rot.quat_mul(jqw, jq[:, l])
-            link_pos = link_pos.at[:, l].set(cp)
-            link_quat = link_quat.at[:, l].set(cq)
+            pp, pq = link_pos[:, pi], link_quat[:, pi]
+        else:
+            pidx = jnp.clip(parent[:, l], 0, l - 1)
+            pp = _take_env(link_pos, pidx[:, None])[:, 0]
+            pq = _take_env(link_quat, pidx[:, None])[:, 0]
+        # joint frame in world
+        jp, jqw = rot.transform_compose(pp, pq, origin_pos[:, l],
+                                        origin_quat[:, l])
+        # child link frame = joint frame ∘ (translation, rotation)
+        cp = jp + rot.quat_rotate(jqw, jt[:, l])
+        cq = rot.quat_mul(jqw, jq[:, l])
+        link_pos = link_pos.at[:, l].set(cp)
+        link_quat = link_quat.at[:, l].set(cq)
 
     # Per-dof world axis / anchor, gathered at the dof's child link.  The
     # child frame origin lies on the joint axis for revolute joints, and the

@@ -93,7 +93,7 @@ class TestDAgger:
             tpath = os.path.join(td, "teacher.ckpt")
             make_teacher_ckpt(tpath, env, model_cfg)
             acfg = dict(cfg["algo"])
-            acfg.update({"teacher": tpath, "buf_size": 8, "n_steps": 2,
+            acfg.update({"teacher": tpath, "buf_size": 8, "n_steps": 4,
                          "n_updates": 1, "n_minibatches": 2,
                          "reward_reset": False, "model": model_cfg,
                          "test_only": False})
@@ -103,7 +103,8 @@ class TestDAgger:
                 ts, es, metrics = dag._jit_iter(ts, es, np.float32(1e-3))
             m = {k: float(v) for k, v in metrics.items()}
             assert np.isfinite(m["Train/dagger_loss"])
-            assert m["Train/cur_buf_size"] == 8  # 2 steps × 2 envs × 2 iters
+            # 4 steps × 2 envs × 2 iters = capacity (8 × 2)
+            assert m["Train/cur_buf_size"] == 16
             # student moved
             p0 = dag.init_state(seed=0)[0].student
             diff = max(abs(np.asarray(a - b)).max() for a, b in zip(
@@ -142,7 +143,10 @@ class TestBC:
             })
             bc = BC(env, acfg, DummyLogger())
             params = bc.run(seed=0)
-            # after fitting, predictions approach the constant action
-            obs, act = jax.random.normal(jax.random.PRNGKey(2), (4, bc.num_obs)), 0.3
-            pred = np.asarray(bc.student.update_act(params, obs))
-            assert abs(pred.mean() - 0.3) < 0.15
+            # after fitting, predictions on the *training* observations
+            # approach the constant expert action
+            from partmanip_tpu.algos.bc import load_demo_tree
+            obs, act = load_demo_tree(td, add_proprio=True)
+            pred = np.asarray(bc.student.update_act(params, jnp.asarray(obs)))
+            assert abs(pred.mean() - 0.3) < 0.1
+            assert np.abs(pred - 0.3).max() < 0.25
