@@ -73,6 +73,8 @@ class PPO:
         self.eval_freq = cfg["eval_frequence"]
         self.save_freq = cfg["save_frequence"]
         self.test_only = cfg.get("test_only") or False
+        self.save_pose = cfg.get("save_pose") or False
+        self.save_video = cfg.get("save_video") or False
         self.save_ckpt_dir = logger.save_ckpt_dir
 
         self.lr_schedule = cfg["lr_schedule"]
@@ -382,8 +384,60 @@ class PPO:
             metrics[f"{k}_max"] = v2.max(axis=0).mean()
         return env_state, metrics
 
+    def _eval_capture(self, ts: PPOTrainState, env_state):
+        """Eval with pose dumps / video frames (≙ ppo.py:160-193): slower
+        host-driven loop used only when save_pose/save_video is on."""
+        import numpy as np
+        from ..utils import video as video_lib
+        env_state, obs = self._jit_reset(env_state)
+        o = self._select_obs(obs)
+        if self.tricks["use_state_norm"]:
+            o, _ = rms_lib.normalize(ts.rms, o, False)
+        step = jax.jit(lambda s, a: self.env.step(s, a, train=False))
+        pose_dir = pjoin(self.logger.save_pose_dir, f"Iter{self.curr_iter}")
+        video_dir = pjoin(self.logger.save_video_dir, f"Iter{self.curr_iter}")
+        save_dicts = []
+        rig = None
+        if self.save_video:
+            from ..envs import vision as vision_lib
+            rig = vision_lib.VisionRig(self.env.cfg["cam"],
+                                       self.env.cfg["obs_mode"]["tsdf"],
+                                       "depth_tsdf", im_scale=1)
+        for i in range(self.max_episode_length):
+            actions = self.ac.act(ts.params, o)
+            if self.save_pose:
+                d = jax.tree.map(np.asarray, self.env.scene_pose(env_state))
+                d["state"] = np.asarray(o)
+                d["action"] = np.asarray(actions)
+                save_dicts.append(d)
+            if self.save_video and rig is not None:
+                from ..envs import vision as vision_lib
+                prims = vision_lib.scene_prims(self.env, env_state.sim)
+                from ..ops import raymarch
+                depth = raymarch.render_depth(
+                    prims, rig.poses[:1], rig.intrinsic, rig.im_h, rig.im_w)
+                env_id = min(3, self.num_envs - 1)  # ≙ hand_base.py:233
+                video_lib.save_depth_frame(
+                    pjoin(video_dir, f"{i}.png"),
+                    np.asarray(depth[env_id, 0]))
+            env_state, next_obs, rew, dones, extras = step(env_state, actions)
+            o = self._select_obs(next_obs)
+            if self.tricks["use_state_norm"]:
+                o, _ = rms_lib.normalize(ts.rms, o, False)
+        if self.save_pose:
+            success = np.asarray(env_state.success)
+            os.makedirs(pose_dir, exist_ok=True)
+            for i, d in enumerate(save_dicts):
+                d["success"] = success
+                np.save(pjoin(pose_dir, f"{i}.npy"), d)
+        if self.save_video:
+            video_lib.path_to_video(video_dir)
+        return env_state
+
     def eval(self, ts: PPOTrainState, env_state, mode="Val"):
         agg = {}
+        if self.save_pose or self.save_video:
+            env_state = self._eval_capture(ts, env_state)
         for _ in range(self.eval_round):
             env_state, m = self._jit_eval_round(ts, env_state)
             for k, v in m.items():

@@ -251,6 +251,28 @@ class GraspCubeEnv:
 
     # ------------------------------------------------------------------
     # step
+    def scene_pose(self, state: EnvState):
+        """Per-step part poses for offline re-rendering / demo dumps
+        (≙ ``compute_scene_pose``/``save_scene_pose``,
+        ``hand_base.py:431-451``): rotation matrices + positions of the
+        robot's mesh-bearing links plus the object part(s).  Our assets are
+        primitives, so no per-mesh coordinate correction is needed (the
+        reference's ``coordinate_transform_matrix``, load_robot.py:52-56)."""
+        import numpy as np2
+        fk = kinematics.forward_kinematics(self.scene.robot, state.sim.robot)
+        li = self.built.link_index
+        names = [f"panda_link{i}" for i in range(8)] + [
+            "panda_hand", "panda_leftfinger", "panda_rightfinger"]
+        idx = jnp.asarray(np2.array([[li[n] for n in names]]))
+        idx = jnp.broadcast_to(idx, (self.num_envs, len(names)))
+        rpos = kinematics._take_env(fk.link_pos, idx)
+        rq = kinematics._take_env(fk.link_quat, idx)
+        rrot = rot.quat_to_mat(rq)
+        orot = rot.quat_to_mat(state.sim.body.quat)
+        opos = state.sim.body.pos
+        return {"rot": jnp.concatenate([rrot, orot[:, None]], axis=1),
+                "pos": jnp.concatenate([rpos, opos[:, None]], axis=1)}
+
     # ------------------------------------------------------------------
 
     def step(self, state: EnvState, actions, train: bool = True,

@@ -113,3 +113,77 @@ def render_depth(
 
     depths = [march_view(v_) for v_ in range(V)]
     return jnp.stack(depths, axis=1).reshape(E, V, im_h, im_w)
+
+
+def scene_sdf_seg(prims: ScenePrims, p: jnp.ndarray):
+    """(distance, segment id) at points p [E, N, 3].
+
+    Ids: 0 ground/background, 1 robot (all spheres — ≙ the reference's
+    per-body segmentation id 1, ``load_robot.py:82-83``), 2 + g for object
+    box g.
+    """
+    big = 1e6
+    ds = (jnp.linalg.norm(
+        p[:, :, None, :] - prims.sphere_center[:, None, :, :], axis=-1)
+        - prims.sphere_radius[:, None, :])
+    d_rob = jnp.min(ds, axis=-1)
+
+    rel = p[:, :, None, :] - prims.box_pos[:, None, :, :]
+    local = rot.quat_rotate_inverse(
+        jnp.broadcast_to(prims.box_quat[:, None], rel.shape[:-1] + (4,)), rel)
+    q = jnp.abs(local) - prims.box_half[:, None, :, :]
+    q_out = jnp.maximum(q, 0.0)
+    db = (jnp.linalg.norm(q_out, axis=-1)
+          + jnp.minimum(jnp.max(q, axis=-1), 0.0))
+    db = jnp.where(prims.box_mask[:, None, :] > 0, db, big)
+    d_box = jnp.min(db, axis=-1)
+    box_id = jnp.argmin(db, axis=-1)
+
+    d_ground = p[..., 2] if prims.ground else jnp.full(p.shape[:-1], big)
+    d = jnp.minimum(jnp.minimum(d_rob, d_box), d_ground)
+    seg = jnp.where(d_rob <= jnp.minimum(d_box, d_ground), 1,
+                    jnp.where(d_box <= d_ground, 2 + box_id, 0))
+    return d, seg.astype(jnp.int32)
+
+
+def render_depth_seg(prims: ScenePrims, cam_pose, intrinsic, im_h, im_w,
+                     n_steps: int = 40, far: float = 100.0, eps: float = 1e-3):
+    """Depth + segmentation images (≙ Isaac IMAGE_DEPTH + IMAGE_SEGMENTATION,
+    ``hand_base.py:214-225``). Returns (depth [E,V,H,W], seg i32 [E,V,H,W])."""
+    import numpy as np
+    E = prims.sphere_center.shape[0]
+    V = cam_pose.shape[0]
+    fx, fy = intrinsic[0, 0], intrinsic[1, 1]
+    cx, cy = intrinsic[0, 2], intrinsic[1, 2]
+    u = (np.arange(im_w) - cx) / fx
+    v = (np.arange(im_h) - cy) / fy
+    uu, vv = np.meshgrid(u, v)
+    dirs_cam = np.stack([uu, vv, np.ones_like(uu)], -1).reshape(-1, 3)
+    R = cam_pose[:, :3, :3]
+    t = cam_pose[:, :3, 3]
+    dirs_w = jnp.asarray(np.einsum("nc,vbc->vnb", dirs_cam, R).astype(np.float32))
+    inv_norm = 1.0 / jnp.linalg.norm(dirs_w, axis=-1)
+    origins = jnp.asarray(t.astype(np.float32))
+    N = im_h * im_w
+
+    depths, segs = [], []
+    for view in range(V):
+        d0 = dirs_w[view][None].repeat(E, 0)
+        o = jnp.broadcast_to(origins[view], (E, N, 3))
+        inv = inv_norm[view][None]
+
+        def body(i, tz):
+            pnt = o + tz[..., None] * d0
+            dist = scene_sdf(prims, pnt)
+            step = jnp.maximum(dist, 0.0) * inv
+            done = (dist < eps) | (tz > far)
+            return jnp.where(done, tz, tz + step)
+
+        tz = jax.lax.fori_loop(0, n_steps, body, jnp.full((E, N), 0.05))
+        pnt = o + tz[..., None] * d0
+        dist, seg = scene_sdf_seg(prims, pnt)
+        hit = (dist < 10 * eps) & (tz <= far)
+        depths.append(jnp.where(hit, tz, far))
+        segs.append(jnp.where(hit, seg, 0))
+    return (jnp.stack(depths, 1).reshape(E, V, im_h, im_w),
+            jnp.stack(segs, 1).reshape(E, V, im_h, im_w))

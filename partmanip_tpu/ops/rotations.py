@@ -259,3 +259,95 @@ def transform_compose(pos_a, quat_a, pos_b, quat_b):
 def transform_inverse(pos, quat):
     qi = quat_conjugate(quat)
     return -quat_rotate(qi, pos), qi
+
+
+def quat_to_angle_axis(q: jnp.ndarray):
+    """xyzw quat → (angle, axis), angle normalized to [-π, π]
+    (≙ ``torch_jit_utils.py:213-234``)."""
+    w = jnp.clip(q[..., 3], -1.0, 1.0)
+    sin_theta = jnp.sqrt(jnp.maximum(1.0 - w * w, 0.0))
+    angle = normalize_angle(2.0 * jnp.arccos(w))
+    small = sin_theta <= 1e-5
+    axis = q[..., 0:3] / jnp.where(small, 1.0, sin_theta)[..., None]
+    default_axis = jnp.zeros_like(axis).at[..., 2].set(1.0)
+    angle = jnp.where(small, 0.0, angle)
+    axis = jnp.where(small[..., None], default_axis, axis)
+    return angle, axis
+
+
+def normalize_angle(a: jnp.ndarray) -> jnp.ndarray:
+    """Wrap to [-π, π]."""
+    return jnp.mod(a + jnp.pi, 2 * jnp.pi) - jnp.pi
+
+
+def angle_axis_to_exp_map(angle, axis):
+    return angle[..., None] * axis
+
+
+def quat_to_exp_map(q):
+    """(≙ ``torch_jit_utils.py:244-251``)."""
+    angle, axis = quat_to_angle_axis(q)
+    return angle_axis_to_exp_map(angle, axis)
+
+
+def exp_map_to_angle_axis(exp_map):
+    angle = jnp.linalg.norm(exp_map, axis=-1)
+    small = angle <= 1e-5
+    axis = exp_map / jnp.where(small, 1.0, angle)[..., None]
+    default_axis = jnp.zeros_like(exp_map).at[..., 2].set(1.0)
+    return (jnp.where(small, 0.0, normalize_angle(angle)),
+            jnp.where(small[..., None], default_axis, axis))
+
+
+def exp_map_to_quat(exp_map):
+    angle, axis = exp_map_to_angle_axis(exp_map)
+    return quat_from_angle_axis(angle, axis)
+
+
+def quat_to_tan_norm(q):
+    """Rotation as (tangent, normal) 6D (≙ ``torch_jit_utils.py:253-266``)."""
+    tan = quat_axis(q, 0)
+    norm_ = quat_axis(q, 2)
+    return jnp.concatenate([tan, norm_], axis=-1)
+
+
+def slerp(q0, q1, t):
+    """Spherical interpolation, shortest arc (≙ ``torch_jit_utils.py:300-333``)."""
+    cos_half = jnp.sum(q0 * q1, axis=-1, keepdims=True)
+    q1 = jnp.where(cos_half < 0, -q1, q1)
+    cos_half = jnp.abs(cos_half)
+    cos_half = jnp.clip(cos_half, 0.0, 1.0)
+    half = jnp.arccos(cos_half)
+    sin_half = jnp.sqrt(jnp.maximum(1.0 - cos_half * cos_half, 0.0))
+    safe_sin = jnp.where(jnp.abs(sin_half) < 1e-3, 1.0, sin_half)
+    ra = jnp.sin((1 - t) * half) / safe_sin
+    rb = jnp.sin(t * half) / safe_sin
+    out = ra * q0 + rb * q1
+    lin = (1 - t) * q0 + t * q1  # near-parallel fallback
+    out = jnp.where(jnp.abs(sin_half) < 1e-3, lin, out)
+    return jnp.where(cos_half >= 1.0, q0, out)
+
+
+def calc_heading(q):
+    """xy-plane heading angle (≙ ``torch_jit_utils.py:335-346``)."""
+    rot_dir = quat_axis(q, 0)
+    return jnp.arctan2(rot_dir[..., 1], rot_dir[..., 0])
+
+
+def calc_heading_quat(q):
+    heading = calc_heading(q)
+    axis = jnp.zeros(q.shape[:-1] + (3,)).at[..., 2].set(1.0)
+    return quat_from_angle_axis(heading, axis)
+
+
+def calc_heading_quat_inv(q):
+    heading = calc_heading(q)
+    axis = jnp.zeros(q.shape[:-1] + (3,)).at[..., 2].set(1.0)
+    return quat_from_angle_axis(-heading, axis)
+
+
+def local_to_world_space(pos_offset_local, pose_global):
+    """Local-frame point → world (≙ ``torch_jit_utils.py:166-185``).
+    pose_global: [..., 7] (pos + xyzw quat)."""
+    return quat_rotate(pose_global[..., 3:7], pos_offset_local) \
+        + pose_global[..., 0:3]
