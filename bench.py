@@ -54,15 +54,17 @@ def main():
     # warmup twice: the first call compiles for the weak-typed init state,
     # the second for the canonical (fed-back) signature used steadily.
     ts, env_state, metrics = ppo._jit_train_iter(ts, env_state, ppo.lr)
+    _ = float(list(metrics.values())[0])
     ts, env_state, metrics = ppo._jit_train_iter(ts, env_state, ppo.lr)
-    jax.block_until_ready(metrics)
+    _ = float(list(metrics.values())[0])
 
+    # One scalar fetch per iteration forces completion (block_until_ready
+    # returns early through tunneled runtimes) and matches the real train
+    # loop, which pulls its metrics every iteration.
     t0 = time.time()
     for _ in range(args.iters):
         ts, env_state, metrics = ppo._jit_train_iter(ts, env_state, ppo.lr)
-    # block_until_ready alone can return early through tunneled TPU
-    # runtimes — force completion with a real scalar fetch.
-    _ = float(list(metrics.values())[0])
+        _ = float(list(metrics.values())[0])
     dt = time.time() - t0
 
     steps = ppo.n_steps * args.envs * args.iters

@@ -82,6 +82,7 @@ def generate_drawer_asset(out_dir: str, split: str, idx: int) -> str:
     n_drawers = rng.randint(2, 4)
     target = rng.randint(0, n_drawers)
     slot_h = (H - t * (n_drawers + 1)) / n_drawers
+    z0_off = -H / 2.0  # origin at the vertical center (GAPartNet convention)
 
     # Local frame: front face at x = -Dp/2 (cabinet faces its −x; the task
     # root quat (0,0,1,0) then turns the front toward the +x world robot,
@@ -92,11 +93,11 @@ def generate_drawer_asset(out_dir: str, split: str, idx: int) -> str:
     links.append({"name": "base_link", "parent": None, "joint": None})
     # frame: bottom, top, left, right, back
     for nm, size, pos in [
-        ("bottom", (Dp, W, t), (0, 0, t / 2)),
-        ("top", (Dp, W, t), (0, 0, H - t / 2)),
-        ("left", (Dp, t, H), (0, -(W - t) / 2, H / 2)),
-        ("right", (Dp, t, H), (0, (W - t) / 2, H / 2)),
-        ("back", (t, W, H), ((Dp - t) / 2, 0, H / 2)),
+        ("bottom", (Dp, W, t), (0, 0, z0_off + t / 2)),
+        ("top", (Dp, W, t), (0, 0, z0_off + H - t / 2)),
+        ("left", (Dp, t, H), (0, -(W - t) / 2, z0_off + H / 2)),
+        ("right", (Dp, t, H), (0, (W - t) / 2, z0_off + H / 2)),
+        ("back", (t, W, H), ((Dp - t) / 2, 0, z0_off + H / 2)),
     ]:
         boxes.append(BoxDef("base_link", size, pos))
 
@@ -108,7 +109,7 @@ def generate_drawer_asset(out_dir: str, split: str, idx: int) -> str:
     joint_name = None
 
     for d in range(n_drawers):
-        z0 = t + d * (slot_h + t)
+        z0 = z0_off + t + d * (slot_h + t)
         zc = z0 + slot_h / 2
         nm = f"link_{d}"
         jn = f"joint_{d}"

@@ -21,6 +21,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops import rotations as rot
+from ..sim import contact as contact_lib
 from ..sim import engine, franka, kinematics
 from ..sim.types import FreeBodySpec, FreeBodyState, SimParams, TreeState
 from . import base, control, vision
@@ -130,7 +131,8 @@ class GraspCubeEnv:
             pos=jnp.tile(jnp.asarray(self.obj_default_root[:3]), (E, 1)),
             quat=jnp.tile(jnp.asarray(self.obj_default_root[3:7]), (E, 1)),
             linvel=jnp.zeros((E, 3)), angvel=jnp.zeros((E, 3)))
-        return engine.SceneState(robot=robot, body=body)
+        anchors = contact_lib.init_anchors(E, self.spheres.link_idx.shape[0])
+        return engine.SceneState(robot=robot, body=body, anchors=anchors)
 
     def _random_obj_root(self, rng, E: int):
         """Randomized cube pose (grasp_cube.py:160-167): xy ± reset_range,

@@ -36,7 +36,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops import rotations as rot
-from ..sim import builder, engine, franka, kinematics
+from ..sim import builder, contact as contact_lib
+from ..sim import engine, franka, kinematics
 from ..sim.types import BoxGeoms, SimParams, TreeState
 from . import assets, base, control
 from .base import EnvState
@@ -168,7 +169,8 @@ class OpenDrawerEnv:
             qvel=jnp.zeros((E, D_obj)),
             root_pos=jnp.tile(jnp.asarray(OBJ_DEFAULT_ROOT[:3]), (E, 1)),
             root_quat=jnp.tile(jnp.asarray(OBJ_DEFAULT_ROOT[3:7]), (E, 1)))
-        return engine.SceneState(robot=robot, obj=obj)
+        anchors = contact_lib.init_anchors(E, self.spheres.link_idx.shape[0])
+        return engine.SceneState(robot=robot, obj=obj, anchors=anchors)
 
     def _random_obj_root(self, rng, E: int):
         """≙ open_drawer.reset_idx randomization (:312-318)."""

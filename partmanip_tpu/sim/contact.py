@@ -135,7 +135,8 @@ def spheres_vs_boxes(
     return cs, box_idx
 
 
-def penalty_forces(cs: ContactSet, v_self, params: SimParams, m_eff: float = 0.1):
+def penalty_forces(cs: ContactSet, v_self, params: SimParams, m_eff: float = 0.1,
+                   tangential: bool = True):
     """Regularized penalty contact forces, strictly dissipative per step.
 
     F = fn·n + ft with
@@ -178,12 +179,16 @@ def penalty_forces(cs: ContactSet, v_self, params: SimParams, m_eff: float = 0.1
     approach = jnp.maximum(0.0, -vn)
     fn_damp = jnp.minimum(cd * approach, m_c * approach / h)
     fn = (fn_spring + fn_damp) * touching
-    ft_mag = jnp.minimum(
-        jnp.minimum(cs.friction * fn, params.contact_kt * vt_norm),
-        m_c * vt_norm / h,
-    )
-    ft = -ft_mag[..., None] * vt / jnp.maximum(vt_norm, 1e-6)[..., None]
-    force = fn[..., None] * cs.normal + ft
+    if tangential:
+        ft_mag = jnp.minimum(
+            jnp.minimum(cs.friction * fn, params.contact_kt * vt_norm),
+            m_c * vt_norm / h,
+        )
+        ft = -ft_mag[..., None] * vt / jnp.maximum(vt_norm, 1e-6)[..., None]
+        force = fn[..., None] * cs.normal + ft
+    else:
+        # tangential handled by the stick-slip anchors (engine level)
+        force = fn[..., None] * cs.normal
     return force, fn, touching
 
 
@@ -227,3 +232,78 @@ def box_corners(half: jnp.ndarray, E: int):
         dtype=jnp.float32,
     )
     return signs[None] * jnp.broadcast_to(half, (E, 3))[:, None, :]
+
+
+class AnchorState(NamedTuple):
+    """Per-sphere tangential stick anchors (static friction state).
+
+    PhysX resolves static friction inside its solver; a stateless viscous
+    regularization cannot transmit force at zero slip, which dead-locks
+    friction-grip pulls (drawer handles).  The standard fix is a spring-
+    clutch: each sphere stores the contact point in its partner body's local
+    frame; the tangential force is a stiff spring to that anchor, clamped to
+    the friction cone with return mapping (sliding drags the anchor along).
+    """
+
+    point: jnp.ndarray   # f32 [E, S, 3] anchor in partner-local coordinates
+    body: jnp.ndarray    # i32 [E, S] partner id (-1 none; engine-defined)
+
+
+def init_anchors(E: int, S: int) -> AnchorState:
+    return AnchorState(point=jnp.zeros((E, S, 3)),
+                       body=jnp.full((E, S), -1, jnp.int32))
+
+
+ANCHOR_KS = 2.0e3       # tangential spring stiffness [N/m]
+ANCHOR_ZETA = 1.0       # damping ratio of the tangential spring
+
+
+def anchor_friction(
+    sphere_pos, sphere_vel, normal, fn, mu, touching, partner_id,
+    anchor: AnchorState, to_local, to_world, partner_vel,
+    params: SimParams, m_eff,
+):
+    """Stick-slip tangential forces for one sphere set.
+
+    Args:
+        sphere_pos/vel: [E, S, 3] current sphere state (world).
+        normal, fn, mu, touching: [E, S(,3)] of the *selected* contact.
+        partner_id: [E, S] i32 partner body id of the selected contact.
+        anchor: previous AnchorState.
+        to_local(points, pid): world → partner-local for the given partner.
+        to_world(points, pid): partner-local → world.
+        partner_vel: [E, S, 3] partner surface velocity at the sphere.
+    Returns:
+        (force [E, S, 3] to apply to the sphere, new AnchorState,
+         stick mask [E, S]).
+    """
+    h = params.h
+    cdt = 2.0 * ANCHOR_ZETA * jnp.sqrt(ANCHOR_KS * m_eff)
+
+    same = (anchor.body == partner_id) & (partner_id >= 0) & (touching > 0)
+    anchor_world = to_world(anchor.point, anchor.body)
+    # tangential offset from the anchor (project out the current normal)
+    delta = sphere_pos - anchor_world
+    delta_t = delta - jnp.sum(delta * normal, -1, keepdims=True) * normal
+    v_rel = sphere_vel - partner_vel
+    vt = v_rel - jnp.sum(v_rel * normal, -1, keepdims=True) * normal
+
+    ft_raw = -ANCHOR_KS * delta_t - cdt * vt
+    ft_raw = jnp.where(same[..., None], ft_raw, -cdt * vt * (touching > 0)[..., None])
+    ft_mag = jnp.linalg.norm(ft_raw, axis=-1)
+    limit = mu * fn
+    stick = (ft_mag <= limit) & same
+    scale = jnp.where(ft_mag > 1e-9, jnp.minimum(limit / jnp.maximum(ft_mag, 1e-9), 1.0), 0.0)
+    ft = ft_raw * scale[..., None]
+    ft = ft * (touching > 0)[..., None]
+
+    # return mapping: when sliding, drag the anchor so the spring force
+    # equals the clamped (cone-boundary) force
+    slid_world = sphere_pos + ft / ANCHOR_KS
+    new_world = jnp.where(stick[..., None], anchor_world, slid_world)
+    new_local = to_local(new_world, partner_id)
+    new_anchor = AnchorState(
+        point=jnp.where((touching > 0)[..., None], new_local, anchor.point),
+        body=jnp.where(touching > 0, partner_id, -1),
+    )
+    return ft, new_anchor, stick

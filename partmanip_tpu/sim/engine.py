@@ -42,6 +42,7 @@ class SceneState(NamedTuple):
     robot: TreeState
     obj: Optional[TreeState] = None
     body: Optional[FreeBodyState] = None
+    anchors: Optional[contact.AnchorState] = None  # stick-friction state
 
 
 def obj_box_world(spec: TreeSpec, boxes: BoxGeoms, fk, E: int):
@@ -89,12 +90,37 @@ def _inner_step(scene: SceneSpec, state: SceneState, pos_targets, h,
         cd = 2.0 * p.contact_damping_ratio * jnp.sqrt(p.contact_kn * m_eff)
         return touching * (h * cd + h * h * p.contact_kn)
 
+    # Per-sphere best-partner bookkeeping for the stick-slip anchors:
+    # partner ids: 0 ground, 1 cube, 2+g object box g.
+    best_depth = jnp.full((E, S), 1e9)
+    best = {
+        "id": jnp.full((E, S), -1, jnp.int32),
+        "normal": jnp.zeros((E, S, 3)),
+        "fn": jnp.zeros((E, S)),
+        "mu": jnp.zeros((E, S)),
+        "touch": jnp.zeros((E, S)),
+        "pvel": jnp.zeros((E, S, 3)),
+    }
+
+    def consider(depth, pid, normal, fn, mu, touch, pvel):
+        nonlocal best_depth, best
+        better = (depth < best_depth) & (touch > 0)
+        best_depth = jnp.where(better, depth, best_depth)
+        best["id"] = jnp.where(better, pid, best["id"])
+        best["normal"] = jnp.where(better[..., None], normal, best["normal"])
+        best["fn"] = jnp.where(better, fn, best["fn"])
+        best["mu"] = jnp.where(better, mu, best["mu"])
+        best["touch"] = jnp.maximum(best["touch"], touch * better)
+        best["pvel"] = jnp.where(better[..., None], pvel, best["pvel"])
+
     # 1) robot vs ground
     cs_g = contact.spheres_vs_ground(centers, radii, mu_s)
-    f_g, _, t_g = contact.penalty_forces(cs_g, v_s, p, 0.5)
+    f_g, fn_g, t_g = contact.penalty_forces(cs_g, v_s, p, 0.5)
     F_sphere = F_sphere + f_g
     N_sphere = N_sphere + _nnT(cs_g.normal[:, :, None, :],
                                imp_coef(t_g, 0.5)[:, :, None])
+    consider(cs_g.depth, jnp.zeros((E, S), jnp.int32), cs_g.normal, fn_g,
+             cs_g.friction, t_g, jnp.zeros((E, S, 3)))
 
     # 2) robot vs free body (cube)
     cube_wrench = None
@@ -109,14 +135,17 @@ def _inner_step(scene: SceneSpec, state: SceneState, pos_targets, h,
                 state.body, pts.reshape(E, -1, 3)).reshape(pts.shape),
         )
         m_cube = float(np.asarray(fb.mass).reshape(-1)[0])
-        f_b, _, t_b = contact.penalty_forces(cs_b, v_s, p, m_cube)
+        f_b, fn_b, t_b = contact.penalty_forces(cs_b, v_s, p, m_cube)
         F_sphere = F_sphere + f_b
         N_sphere = N_sphere + _nnT(cs_b.normal[:, :, None, :],
                                    imp_coef(t_b, m_cube)[:, :, None])
-        # reaction wrench on the cube about its COM
+        # reaction wrench on the cube about its COM (normal part)
         r = cs_b.point - state.body.pos[:, None, :]
         cube_wrench = (-jnp.sum(f_b, axis=1),
                        -jnp.sum(jnp.cross(r, f_b), axis=1))
+        consider(cs_b.depth, jnp.ones((E, S), jnp.int32), cs_b.normal, fn_b,
+                 cs_b.friction, t_b,
+                 contact.free_body_point_velocity(state.body, centers))
 
     # 3) robot vs articulated object boxes
     fk_o = None
@@ -152,10 +181,23 @@ def _inner_step(scene: SceneSpec, state: SceneState, pos_targets, h,
             v_box_fn,
         )
         vs_o = jnp.broadcast_to(v_s[:, :, None, :], (E, S, G, 3)).reshape(E, -1, 3)
-        f_o, _, t_o = contact.penalty_forces(cs_o, vs_o, p, 0.3)
+        f_o, fn_o, t_o = contact.penalty_forces(cs_o, vs_o, p, 0.3)
         f_osg = f_o.reshape(E, S, G, 3)
         t_osg = t_o.reshape(E, S, G)
         n_osg = cs_o.normal.reshape(E, S, G, 3)
+        # best box per sphere for the anchor bookkeeping
+        d_sg = cs_o.depth.reshape(E, S, G)
+        masked_d = jnp.where(t_osg > 0, d_sg, 1e9)
+        gbest = jnp.argmin(masked_d, axis=-1)                  # [E, S]
+        take_g = lambda a: jnp.take_along_axis(
+            a, gbest[..., None, None] if a.ndim == 4 else gbest[..., None],
+            axis=2)[:, :, 0]
+        fn_sg = fn_o.reshape(E, S, G)
+        mu_sg = cs_o.friction.reshape(E, S, G)
+        pv = v_box_fn(centers[:, :, None, :].repeat(G, 2))     # [E,S,G,3]
+        consider(take_g(d_sg), 2 + gbest, take_g(n_osg), take_g(fn_sg),
+                 take_g(mu_sg), (take_g(masked_d) < 0).astype(jnp.float32),
+                 take_g(pv))
         F_sphere = F_sphere + jnp.sum(f_osg, axis=2)
         N_sphere = N_sphere + _nnT(n_osg, imp_coef(t_osg, 0.3))
 
@@ -169,6 +211,74 @@ def _inner_step(scene: SceneSpec, state: SceneState, pos_targets, h,
         N_box = jnp.einsum("esg,esga,esgb->egab",
                            imp_coef(t_osg, 0.3), n_osg, n_osg)
         obj_reaction = (tau_o, Jv_box, N_box)
+
+    # ---- stick-slip tangential friction via anchors ----
+    anchors = state.anchors
+    if anchors is None:
+        anchors = contact.init_anchors(E, S)
+
+    if scene.obj_tree is not None:
+        G = scene.obj_boxes.link_idx.shape[-1]
+
+    def to_world(local, pid):
+        out = local  # ground: identity
+        if scene.free_body is not None:
+            cube_w = rot.quat_rotate(state.body.quat[:, None], local)                 + state.body.pos[:, None]
+            out = jnp.where((pid == 1)[..., None], cube_w, out)
+        if scene.obj_tree is not None:
+            g = jnp.clip(pid - 2, 0, G - 1)
+            bpg = jnp.take_along_axis(bp, g[..., None], axis=1)
+            bqg = jnp.take_along_axis(bq, g[..., None], axis=1)
+            box_w = rot.quat_rotate(bqg, local) + bpg
+            out = jnp.where((pid >= 2)[..., None], box_w, out)
+        return out
+
+    def to_local(world, pid):
+        out = world
+        if scene.free_body is not None:
+            cube_l = rot.quat_rotate_inverse(
+                state.body.quat[:, None], world - state.body.pos[:, None])
+            out = jnp.where((pid == 1)[..., None], cube_l, out)
+        if scene.obj_tree is not None:
+            g = jnp.clip(pid - 2, 0, G - 1)
+            bpg = jnp.take_along_axis(bp, g[..., None], axis=1)
+            bqg = jnp.take_along_axis(bq, g[..., None], axis=1)
+            box_l = rot.quat_rotate_inverse(bqg, world - bpg)
+            out = jnp.where((pid >= 2)[..., None], box_l, out)
+        return out
+
+    sticky = jnp.broadcast_to(jnp.asarray(scene.spheres.sticky)[None], (E, S))
+    ft, new_anchors, stick = contact.anchor_friction(
+        centers, v_s, best["normal"], best["fn"], best["mu"],
+        best["touch"] * sticky, best["id"], anchors, to_local, to_world,
+        best["pvel"], p, 0.1)
+    ft = ft * sticky[..., None]
+    F_sphere = F_sphere + ft
+    # implicit tangential operator (I − n nᵀ) for anchored spheres
+    cdt = 2.0 * contact.ANCHOR_ZETA * jnp.sqrt(contact.ANCHOR_KS * 0.1)
+    eye = jnp.broadcast_to(jnp.eye(3), (E, S, 3, 3))
+    P_t = eye - jnp.einsum("esa,esb->esab", best["normal"], best["normal"])
+    N_sphere = N_sphere + (h * cdt + h * h * contact.ANCHOR_KS)         * best["touch"][..., None, None] * P_t
+
+    # friction reactions to partners
+    if scene.free_body is not None:
+        is_cube = (best["id"] == 1).astype(jnp.float32)[..., None]
+        f_c, t_c = cube_wrench
+        f_c = f_c - jnp.sum(ft * is_cube, axis=1)
+        t_c = t_c - jnp.sum(
+            jnp.cross(centers - state.body.pos[:, None], ft * is_cube), axis=1)
+        cube_wrench = (f_c, t_c)
+    if scene.obj_tree is not None:
+        onehot = (best["id"][..., None] - 2
+                  == jnp.arange(G)[None, None]).astype(jnp.float32)  # [E,S,G]
+        F_fric = -jnp.einsum("esg,esa->ega", onehot, ft)
+        r_sb = centers[:, :, None, :] - bp[:, None, :, :]
+        T_fric = -jnp.einsum("esg,esga->ega", onehot,
+                             jnp.cross(r_sb, ft[:, :, None, :]))
+        tau_o_f, Jv_box, N_box = obj_reaction
+        tau_o_f = tau_o_f + (jnp.einsum("egad,ega->ed", Jv_box, F_fric)
+                             + jnp.einsum("egad,ega->ed", Jw_box, T_fric))
+        obj_reaction = (tau_o_f, Jv_box, N_box)
 
     implicit = dynamics.ImplicitBlocks(Jp=Jp_s, N=N_sphere)
     tau_r = jnp.einsum("esad,esa->ed", Jp_s, F_sphere)
@@ -217,7 +327,8 @@ def _inner_step(scene: SceneSpec, state: SceneState, pos_targets, h,
             implicit=implicit_o, coriolis=coriolis,
         )
 
-    return SceneState(robot=robot_new, obj=obj_new, body=body_new)
+    return SceneState(robot=robot_new, obj=obj_new, body=body_new,
+                      anchors=new_anchors)
 
 
 def physics_step(scene: SceneSpec, state: SceneState,
@@ -229,6 +340,10 @@ def physics_step(scene: SceneSpec, state: SceneState,
     n = p.substeps * p.inner_substeps
     h = p.dt / n
     gravity = jnp.array([0.0, 0.0, p.gravity])
+    if state.anchors is None:
+        S = scene.spheres.link_idx.shape[0]
+        E = state.robot.qpos.shape[0]
+        state = state._replace(anchors=contact.init_anchors(E, S))
 
     def body(carry, _):
         return _inner_step(scene, carry, pos_targets, h, gravity,

@@ -86,6 +86,12 @@ def build_franka(mobile: bool) -> BuiltTree:
                 joint_type=JOINT_REVOLUTE, origin_pos=xyz, origin_rpy=rpy,
                 axis=(0, 0, 1), lower=lo, upper=up, effort=eff, vel_limit=vel,
                 joint_name=f"panda_joint{j + 1}",
+                # intrinsic joint damping from the URDF (<dynamics
+                # damping="10"/>, franka_panda_sdf_mobile.urdf:54...) —
+                # unconditional dissipation outside the drive's effort clamp;
+                # without it the effort-limited bang-bang drives sustain a
+                # high-amplitude limit cycle once violently excited.
+                damping=10.0,
                 mass=_ARM_MASS[j], com=_ARM_COM[j], inertia=_ARM_INERTIA[j],
                 # gear-reflected rotor inertia (harmonic drives); also what
                 # keeps the wrist joints well-conditioned under effort-limited
@@ -109,7 +115,7 @@ def build_franka(mobile: bool) -> BuiltTree:
             LinkDef(
                 name, parent="panda_hand", joint_type=JOINT_PRISMATIC,
                 origin_pos=(0, 0, 0.0584), axis=ax, lower=0.0, upper=0.04,
-                effort=20.0, vel_limit=0.2,
+                effort=20.0, vel_limit=0.2, damping=10.0,
                 joint_name=("panda_finger_joint1" if "left" in name
                             else "panda_finger_joint2"),
                 mass=0.015, com=(0, 0, 0.02), inertia=(1e-5, 1e-5, 1e-5),
@@ -165,8 +171,8 @@ def franka_collision_spheres(built: BuiltTree) -> SphereGeoms:
     li = built.link_index
     entries = []  # (link name, offset, radius, friction)
 
-    def add(link, off, r, mu=1.0):
-        entries.append((li[link], off, r, mu))
+    def add(link, off, r, mu=1.0, sticky=0.0):
+        entries.append((li[link], off, r, mu, sticky))
 
     # forearm / wrist coarse proxies
     add("panda_link2", (0, -0.05, 0.03), 0.075)
@@ -188,11 +194,12 @@ def franka_collision_spheres(built: BuiltTree) -> SphereGeoms:
     for f, s in [("panda_leftfinger", +1.0), ("panda_rightfinger", -1.0)]:
         for z, r in [(0.012, 0.010), (0.027, 0.009), (0.040, 0.008),
                      (0.052, 0.0065)]:
-            add(f, (0, s * r, z), r)
+            add(f, (0, s * r, z), r, sticky=1.0)
 
     link_idx = np.array([e[0] for e in entries], np.int32)
     offset = np.array([e[1] for e in entries], np.float32)
     radius = np.array([e[2] for e in entries], np.float32)
     friction = np.array([e[3] for e in entries], np.float32)
+    sticky = np.array([e[4] for e in entries], np.float32)
     return SphereGeoms(link_idx=link_idx, offset=offset, radius=radius,
-                       friction=friction)
+                       friction=friction, sticky=sticky)

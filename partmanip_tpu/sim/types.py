@@ -111,6 +111,7 @@ class SphereGeoms(NamedTuple):
     offset: Array    # f32 [S, 3] center in link frame
     radius: Array    # f32 [S]
     friction: Array  # f32 [S]
+    sticky: Array    # f32 [S] 1.0 = stick-slip anchor friction (finger pads)
 
 
 class BoxGeoms(NamedTuple):
