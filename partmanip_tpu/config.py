@@ -102,6 +102,12 @@ def process_cfgs(argv=None, cfg_root: str = None):
             node = node[kk]
         node[parts[-1]] = v
 
+    # task-level sim overrides (e.g. open_drawer has no free body and can
+    # integrate at h = dt/substeps with the fully implicit contact path)
+    if isinstance(cfg["task"].get("sim"), dict):
+        merged = dict(cfg.get("sim", {}))
+        merged.update(cfg["task"]["sim"])
+        cfg["sim"] = merged
     sim_params = parse_sim_params(cfg)
 
     # cross-copy keys between sections (≙ utils/config.py:124-138)

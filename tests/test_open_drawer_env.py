@@ -89,3 +89,30 @@ class TestOpenDrawerEnv:
         assert bool(extras["is_open_notgrasp"].all())
         assert not bool(success.any())
         assert not bool(succ_objid.any())
+
+
+class TestStabilityUnderRandomActions:
+    def test_no_blowup_at_inner1(self):
+        """open_drawer integrates at h = dt/substeps (inner_substeps=1, the
+        task-level sim override): random-policy stepping stays bounded and
+        finite — the PPO exploration regime."""
+        import random as pyrandom
+        pyrandom.seed(1)
+        cfg, sp = config.process_cfgs(
+            ["--taskcfg", "open_drawer", "--algo.num_envs", "2",
+             "--task.asset.num_objects", "2", "--task.maxEpisodeLength", "50",
+             "--task.asset.assetRoot", "/tmp/partmanip_assets_stab"])
+        assert sp.inner_substeps == 1
+        env = OpenDrawerEnv(cfg["task"], sp)
+        state = env.init_state(jax.random.PRNGKey(0))
+        state, obs = jax.jit(env.reset)(state)
+        step = jax.jit(lambda s, a: env.step(s, a, train=True))
+        rng = np.random.RandomState(0)
+        for i in range(60):
+            a = jnp.asarray(rng.uniform(-1, 1, (2, env.num_actions))
+                            .astype(np.float32))
+            state, obs, rew, reset, extras = step(state, a)
+        o = np.asarray(obs["normal_state"])
+        assert np.isfinite(o).all()
+        assert float(jnp.abs(state.sim.robot.qvel).max()) < 10.0
+        assert np.isfinite(np.asarray(rew)).all()
