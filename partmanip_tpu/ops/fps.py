@@ -42,3 +42,49 @@ def farthest_point_sampling(points: jnp.ndarray, k: int):
     _, idx = jax.lax.fori_loop(1, k, body, (min_d0, idx0))
     sampled = jnp.take_along_axis(points, idx[..., None].repeat(C, 2), axis=1)
     return sampled, idx
+
+
+def farthest_point_sampling_pallas(points: jnp.ndarray, k: int):
+    """Pallas TPU kernel variant: one kernel instance per batch row keeps the
+    running min-distance field in VMEM for all k iterations (the jnp version
+    round-trips [B, N] through HBM every iteration).
+
+    points [B, N, C] with N a multiple of 128 (pad upstream; padding points
+    should duplicate row 0 so they are never selected). Returns indices
+    [B, k] i32; gather the samples with take_along_axis.
+    """
+    import jax
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, N, C = points.shape
+    assert N % 128 == 0, "pad N to a lane multiple"
+
+    def kernel(pts_ref, idx_ref, mind_ref):
+        # pts_ref: [1, N, C] VMEM; idx_ref: [1, k] SMEM; mind_ref: [N] VMEM
+        mind_ref[:] = jnp.full((N,), jnp.inf, jnp.float32)
+        idx_ref[0, 0] = 0
+
+        def body(i, last):
+            p = pts_ref[0, last, :]                    # [C]
+            d = pts_ref[0] - p[None, :]
+            dist = jnp.sum(d * d, axis=-1)             # [N]
+            mind = jnp.minimum(mind_ref[:], dist)
+            mind_ref[:] = mind
+            nxt = jnp.argmax(mind).astype(jnp.int32)
+            idx_ref[0, i] = nxt
+            return nxt
+
+        jax.lax.fori_loop(1, k, body, jnp.int32(0))
+
+    idx = pl.pallas_call(
+        kernel,
+        grid=(B,),
+        in_specs=[pl.BlockSpec((1, N, C), lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, k), lambda b: (b, 0),
+                               memory_space=pltpu.SMEM),
+        out_shape=jax.ShapeDtypeStruct((B, k), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((N,), jnp.float32)],
+    )(points)
+    return idx

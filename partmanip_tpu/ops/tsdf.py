@@ -121,6 +121,11 @@ def depth_to_pointcloud(spec: TSDFSpec, depth: jnp.ndarray,
     hi = lo + spec.size
     valid = jnp.all((world > lo) & (world < hi), axis=-1)
     world = world * valid[..., None]
+    import jax as _jax
+    if world.shape[1] % 128 == 0 and _jax.default_backend() == "tpu":
+        from .fps import farthest_point_sampling_pallas
+        idx = farthest_point_sampling_pallas(world, k)
+        return jnp.take_along_axis(world, idx[..., None].repeat(3, 2), axis=1)
     pc, _ = farthest_point_sampling(world, k)
     return pc
 

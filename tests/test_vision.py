@@ -136,3 +136,13 @@ class TestCameraRig:
             assert np.dot(fwd, to_target) > 0.999
             np.testing.assert_allclose(
                 np.linalg.norm(pose[:3, 3] - [0.1, 0.2, 0.7]), 1.5, rtol=1e-5)
+
+
+class TestFPSPallas:
+    def test_matches_reference_in_interpret_mode(self):
+        from jax.experimental.pallas import tpu as pltpu
+        pts = jax.random.normal(jax.random.PRNGKey(3), (2, 256, 3))
+        _, ref_idx = fps.farthest_point_sampling(pts, 16)
+        with pltpu.force_tpu_interpret_mode():
+            idx = fps.farthest_point_sampling_pallas(pts, 16)
+        np.testing.assert_array_equal(np.asarray(idx), np.asarray(ref_idx))
