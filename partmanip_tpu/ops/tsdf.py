@@ -130,6 +130,44 @@ def depth_to_pointcloud(spec: TSDFSpec, depth: jnp.ndarray,
     return pc
 
 
+def extract_surface_points(spec: TSDFSpec, vol: jnp.ndarray,
+                           k: int = 1024) -> jnp.ndarray:
+    """Level-0 surface point cloud from a TSDF volume [E, r, r, r] → [E, k, 3]
+    (≙ ``TSDFVolume.extract_point_cloud``, ``depth2tsdf.py:122-134``).
+
+    The reference runs skimage marching cubes per env on the host and returns
+    a ragged vertex list; here every grid edge with a sign change yields one
+    linearly-interpolated zero crossing — the same level-set samples, but
+    batched over envs with static shapes (FPS pads/selects down to k), so it
+    stays inside the jitted program instead of round-tripping to CPU.
+    """
+    E = vol.shape[0]
+    r = spec.resolution
+    origin = jnp.asarray(spec.origin)
+
+    def axis_crossings(axis):
+        a = jax.lax.slice_in_dim(vol, 0, r - 1, axis=1 + axis)
+        b = jax.lax.slice_in_dim(vol, 1, r, axis=1 + axis)
+        cross = (a * b < 0) & (jnp.abs(a) < 1.0) & (jnp.abs(b) < 1.0)
+        t = a / jnp.where(jnp.abs(a - b) > 1e-12, a - b, 1e-12)   # frac along edge
+        rs = [r, r, r]
+        rs[axis] -= 1
+        g = np.stack(np.meshgrid(*[np.arange(n) for n in rs], indexing="ij"),
+                     -1).astype(np.float32)                        # [.,.,.,3]
+        base = jnp.asarray(g)[None]
+        off = jnp.zeros(3).at[axis].set(1.0)
+        pos = origin + spec.voxel_size * (
+            base + jnp.clip(t, 0.0, 1.0)[..., None] * off)
+        return (pos.reshape(E, -1, 3), cross.reshape(E, -1))
+
+    pts, mask = zip(*(axis_crossings(ax) for ax in range(3)))
+    pts = jnp.concatenate(pts, axis=1)
+    mask = jnp.concatenate(mask, axis=1)
+    pts = pts * mask[..., None]         # invalid → origin cluster, as depth2pc
+    sampled, _ = farthest_point_sampling(pts, k)
+    return sampled
+
+
 def sparse_voxel(spec: TSDFSpec, depth: jnp.ndarray, k: int = 1024,
                  thres: float = 0.2) -> jnp.ndarray:
     """Near-surface voxel FPS → [E, k, 4] (ijk coords + tsdf)

@@ -100,6 +100,32 @@ class TestTSDFFusion:
                         / spec.voxel_size).astype(int)
         assert v[0, ijk2[0], ijk2[1], ijk2[2]] > 0.5
 
+    def test_extract_surface_points_on_sphere(self):
+        """Zero-crossing extraction (≙ marching-cubes PC) recovers the fused
+        sphere's surface: live samples sit at radius ± a voxel."""
+        spec = self.make_rig()
+        E = 2
+        prims = raymarch.ScenePrims(
+            sphere_center=jnp.tile(jnp.array([0.0, 0, 0.08]), (E, 1, 1)),
+            sphere_radius=jnp.full((E, 1), 0.06),
+            box_pos=jnp.zeros((E, 1, 3)),
+            box_quat=jnp.tile(jnp.array([0.0, 0, 0, 1]), (E, 1, 1)),
+            box_half=jnp.zeros((E, 1, 3)),
+            box_mask=jnp.zeros((E, 1)),
+            ground=False,
+        )
+        depth = raymarch.render_depth(prims, spec.cam_pose, spec.intrinsic,
+                                      spec.im_h, spec.im_w)
+        vol = tsdf.integrate(spec, depth)
+        pc = tsdf.extract_surface_points(spec, vol, k=256)
+        assert pc.shape == (E, 256, 3)
+        p = np.asarray(pc[0])
+        live = p[np.linalg.norm(p, axis=-1) > 1e-6]
+        assert live.shape[0] > 50
+        r = np.linalg.norm(live - np.array([0, 0, 0.08]), axis=-1)
+        # crossings lie on the level set, within ~a voxel (2.5 cm grid)
+        assert np.percentile(np.abs(r - 0.06), 90) < 0.03
+
     def test_depth_to_pointcloud_on_sphere(self):
         spec = self.make_rig()
         E = 1
