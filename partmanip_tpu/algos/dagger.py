@@ -32,6 +32,7 @@ import optax
 
 from ..models.actor_critic import ACParams, ActorCritic
 from ..utils import checkpoint as ckpt_lib
+from ..utils.fetch import fetch_scalars
 
 
 class DaggerBuffer(NamedTuple):
@@ -287,8 +288,8 @@ class DAgger:
         agg = {}
         for _ in range(self.eval_round):
             env_state, m = self._jit_eval_round(ts, env_state)
-            for k, v in m.items():
-                agg.setdefault(k, []).append(float(v))
+            for k, v in fetch_scalars(m).items():
+                agg.setdefault(k, []).append(v)
         return env_state, {f"{mode}/{k}": float(np.mean(v))
                            for k, v in agg.items()}
 
@@ -351,7 +352,7 @@ class DAgger:
             t0 = time.time()
             ts, env_state, metrics = self._jit_iter(ts, env_state,
                                                     self._lr_now())
-            log = {k: float(v) for k, v in metrics.items()}
+            log = fetch_scalars(metrics)   # one transfer, not one per key
             elapsed = time.time() - t0
             self.total_envsteps += self.n_steps * self.num_envs
             log["Progress/total_steps"] = self.curr_iter

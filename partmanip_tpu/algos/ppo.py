@@ -34,6 +34,7 @@ from ..models.actor_critic import ACParams, ActorCritic
 from . import rms as rms_lib
 from . import storage
 from ..utils import checkpoint as ckpt_lib
+from ..utils.fetch import fetch_scalars
 
 
 class PPOTrainState(NamedTuple):
@@ -440,8 +441,8 @@ class PPO:
             env_state = self._eval_capture(ts, env_state)
         for _ in range(self.eval_round):
             env_state, m = self._jit_eval_round(ts, env_state)
-            for k, v in m.items():
-                agg.setdefault(k, []).append(float(v))
+            for k, v in fetch_scalars(m).items():
+                agg.setdefault(k, []).append(v)
         log = {f"{mode}/{k}": float(np.mean(v)) for k, v in agg.items()}
         # freeze RMS once eval max-success > 50 % (ppo.py:200-201)
         if log.get(f"{mode}/succ_rate_max", 0.0) > 0.5:
@@ -475,7 +476,7 @@ class PPO:
             start = time.time()
             ts, env_state, metrics = self._jit_train_iter(
                 ts, env_state, self._lr_now())
-            metrics = {k: float(v) for k, v in metrics.items()}
+            metrics = fetch_scalars(metrics)   # one transfer, not one per key
             elapsed = time.time() - start
 
             self.total_envsteps += self.n_steps * self.num_envs
