@@ -109,3 +109,15 @@ class TestProfilerAndViz:
             p = os.path.join(td, "f.png")
             video.save_depth_frame(p, np.ones((8, 8)) * 1.5)
             assert os.path.exists(p) or os.path.exists(p.replace(".png", ".npy"))
+
+    def test_fetch_scalars_single_transfer(self):
+        """fetch_scalars returns plain floats matching per-key fetch, and
+        handles mixed 0-d / (1,)-shaped leaves and empty dicts."""
+        import jax.numpy as jnp
+        from partmanip_tpu.utils.fetch import fetch_scalars
+        m = {"a": jnp.float32(1.5), "b": jnp.zeros(()) + 2.0,
+             "c": jnp.ones((1,)) * -3.25}
+        out = fetch_scalars(m)
+        assert out == {"a": 1.5, "b": 2.0, "c": -3.25}
+        assert all(type(v) is float for v in out.values())
+        assert fetch_scalars({}) == {}
