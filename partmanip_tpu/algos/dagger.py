@@ -49,6 +49,11 @@ class DaggerTrainState(NamedTuple):
     stu_obs: jnp.ndarray
     tea_obs: jnp.ndarray
     rng: jnp.ndarray
+    # reward-driven early-reset mask computed at step t, applied at t+1 —
+    # carried in the train state so it survives scan and iteration
+    # boundaries (with the shipped n_steps=1 a scan-local carry dies at the
+    # end of every 1-step scan and the mask would never fire).
+    pending_force: jnp.ndarray
 
 
 class DAgger:
@@ -144,6 +149,7 @@ class DAgger:
             stu_obs=self._select(obs, self.stu_obs_mode),
             tea_obs=self._select(obs, self.tea_obs_mode),
             rng=rng,
+            pending_force=jnp.zeros(self.num_envs, bool),
         )
         canon = lambda t: jax.tree.map(
             lambda x: x.astype(x.dtype) if isinstance(x, jnp.ndarray) else x, t)
@@ -180,12 +186,12 @@ class DAgger:
         cap = ts.buffer.stu_obs.shape[0]
 
         def body(carry, _):
-            ts, env_state, force = carry
+            ts, env_state = carry
             rng, k = jax.random.split(ts.rng)
             actions = self.student.random_act(ts.student, ts.stu_obs, k)
             env_state, next_obs, rew, dones, extras = self.env.step(
                 env_state, actions, train=True,
-                force_reset=force if self.reward_reset else None)
+                force_reset=ts.pending_force if self.reward_reset else None)
             buf = ts.buffer
             idx = buf.write_idx + jnp.arange(self.num_envs)
             idx = jnp.mod(idx, cap)
@@ -205,15 +211,15 @@ class DAgger:
                 force = (prog > delta) & (rew < thresh)
             infos = {k2: v.astype(jnp.float32) for k2, v in extras.items()}
             infos["reward"] = rew
+            infos["dagger_reward_reset"] = force.astype(jnp.float32)
             ts = ts._replace(
-                buffer=buf, rng=rng,
+                buffer=buf, rng=rng, pending_force=force,
                 stu_obs=self._select(next_obs, self.stu_obs_mode),
                 tea_obs=self._select(next_obs, self.tea_obs_mode))
-            return (ts, env_state, force), infos
+            return (ts, env_state), infos
 
-        force0 = jnp.zeros(self.num_envs, bool)
-        (ts, env_state, _), infos = jax.lax.scan(
-            body, (ts, env_state, force0), None, length=self.n_steps)
+        (ts, env_state), infos = jax.lax.scan(
+            body, (ts, env_state), None, length=self.n_steps)
         return ts, env_state, infos
 
     def _loss(self, student_params, stu_obs, tea_act):
@@ -227,10 +233,8 @@ class DAgger:
         mb = max(min(cap // self.num_mini_batches, 2048), 1)
         n_batches = self.num_mini_batches
 
-        def upd(carry, k):
+        def upd(carry, idx):
             student, opt = carry
-            idx = jax.random.randint(k, (mb,), 0,
-                                     jnp.maximum(ts.buffer.size, 1))
             stu_o = ts.buffer.stu_obs[idx]
             tea_o = ts.buffer.tea_obs[idx]
             tea_act = self.teacher.act(self.teacher_params, tea_o)
@@ -240,10 +244,14 @@ class DAgger:
             return (optax.apply_updates(student, updates), opt), loss
 
         rng, k = jax.random.split(ts.rng)
-        keys = jax.random.split(k, self.n_updates * n_batches)
+        # without-replacement shuffles over the valid buffer rows, a fresh
+        # permutation per epoch (≙ SubsetRandomSampler, storage.py:125-138)
+        from . import storage as storage_lib
+        idx_all = storage_lib.buffer_minibatch_indices(
+            k, cap, ts.buffer.size, self.n_updates, n_batches, mb)
         opt = ts.opt
         opt.hyperparams["learning_rate"] = lr
-        (student, opt), losses = jax.lax.scan(upd, (ts.student, opt), keys)
+        (student, opt), losses = jax.lax.scan(upd, (ts.student, opt), idx_all)
         # skip updates entirely while the buffer is tiny (dagger.py:302-303)
         small = ts.buffer.size < 16
         student = jax.tree.map(

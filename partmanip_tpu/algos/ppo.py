@@ -273,12 +273,12 @@ class PPO:
         ts = ts._replace(rng=ts.rng)
         rng, k_mb = jax.random.split(ts.rng)
         ts = ts._replace(rng=rng)
-        mb_idx = storage.minibatch_indices(
-            k_mb, total, self.num_mini_batches, self.sampler)
-        n_batches = mb_idx.shape[0]
-        # same minibatch partition reused across epochs and phases
-        # (≙ ppo.py:314 building `batch` once)
-        epoch_idx = jnp.tile(mb_idx, (self.n_updates, 1))
+        # fresh permutation per epoch when sampler=='random' (≙ the
+        # reference's BatchSampler over SubsetRandomSampler yielding a new
+        # shuffle each epoch); 'sequential' partitions once and reuses it.
+        epoch_idx = storage.minibatch_indices(
+            k_mb, total, self.num_mini_batches, self.sampler,
+            n_epochs=self.n_updates)
 
         # ---- actor phase ----
         def actor_step(carry, idx):
@@ -337,13 +337,17 @@ class PPO:
             "Train/value_gt_return_max": returns.max(),
             "Train/value_function_loss": v_losses.mean(),
             "Train/surrogate_loss": a_stats["surrogate_loss"].sum() / applied,
-            "Train/kl": a_stats["kl"].sum() / applied,
+            # KL averaged over *applied* minibatches only (≙ the reference
+            # accumulating kl_mean solely for non-skipped updates)
+            "Train/kl": (a_stats["kl"] * a_stats["applied"]).sum() / applied,
             "Train/kl_max": a_stats["kl"].max(),
             "Train/kl_update_count": a_stats["applied"].sum(),
-            "Train/mean_action_noise_std": self.ac.std(params).mean(),
-            "Train/mean_t_noise_std": self.ac.std(params)[:3].mean(),
-            "Train/mean_r_noise_std": self.ac.std(params)[3:-1].mean(),
-            "Train/mean_gripper_noise_std": self.ac.std(params)[-1],
+            # noise-std curves log exp(log_std) like the reference (the
+            # effective sampling std is exp(2·log_std); see ac.std)
+            "Train/mean_action_noise_std": jnp.exp(params.log_std).mean(),
+            "Train/mean_t_noise_std": jnp.exp(params.log_std)[:3].mean(),
+            "Train/mean_r_noise_std": jnp.exp(params.log_std)[3:-1].mean(),
+            "Train/mean_gripper_noise_std": jnp.exp(params.log_std)[-1],
         }
         # per-key mean and mean-of-per-env-max (≙ use_info_update_logdict,
         # ppo.py:295-305): infos are [T, E]-stacked
@@ -383,7 +387,11 @@ class PPO:
             v2 = v.reshape(self.max_episode_length, -1)
             metrics[f"{k}_mean"] = v2.mean()
             metrics[f"{k}_max"] = v2.max(axis=0).mean()
-        return env_state, metrics
+        # per-step mean reward over envs — the teacher reward curve consumed
+        # by DAgger's reward-driven early reset (≙ the commented
+        # teacher_reward.npy dump at reference ppo.py:183)
+        rew_curve = infos["reward"].reshape(self.max_episode_length, -1).mean(-1)
+        return env_state, metrics, rew_curve
 
     def _eval_capture(self, ts: PPOTrainState, env_state):
         """Eval with pose dumps / video frames (≙ ppo.py:160-193): slower
@@ -437,12 +445,18 @@ class PPO:
 
     def eval(self, ts: PPOTrainState, env_state, mode="Val"):
         agg = {}
+        curves = []
         if self.save_pose or self.save_video:
             env_state = self._eval_capture(ts, env_state)
         for _ in range(self.eval_round):
-            env_state, m = self._jit_eval_round(ts, env_state)
+            env_state, m, rew_curve = self._jit_eval_round(ts, env_state)
+            curves.append(np.asarray(rew_curve))
             for k, v in fetch_scalars(m).items():
                 agg.setdefault(k, []).append(v)
+        if self.cfg.get("save_teacher_reward"):
+            os.makedirs(self.save_ckpt_dir, exist_ok=True)
+            np.save(pjoin(self.save_ckpt_dir, "teacher_reward.npy"),
+                    np.mean(curves, axis=0))
         log = {f"{mode}/{k}": float(np.mean(v)) for k, v in agg.items()}
         # freeze RMS once eval max-success > 50 % (ppo.py:200-201)
         if log.get(f"{mode}/succ_rate_max", 0.0) > 0.5:

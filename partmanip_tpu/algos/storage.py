@@ -68,15 +68,44 @@ def compute_returns(r: Rollout, last_values: jnp.ndarray, gamma: float,
 
 
 def minibatch_indices(rng, total: int, num_mini_batches: int,
-                      sampler: str = "sequential"):
-    """Index matrix [n_batches, mb_size] over the flattened buffer
-    (≙ ``storage.mini_batch_generator``)."""
+                      sampler: str = "sequential", n_epochs: int = 1):
+    """Index matrix [n_epochs·n_batches, mb_size] over the flattened buffer
+    (≙ ``storage.mini_batch_generator``).
+
+    ``random`` draws a *fresh* permutation per epoch (the reference's
+    BatchSampler re-shuffles its SubsetRandomSampler each epoch);
+    ``sequential`` partitions once and tiles it across epochs."""
     mb = min(total // num_mini_batches, 2048)
     n = total // mb  # drop_last
     if sampler == "sequential":
-        idx = jnp.arange(n * mb)
+        idx = jnp.tile(jnp.arange(n * mb).reshape(n, mb), (n_epochs, 1))
     elif sampler == "random":
-        idx = jax.random.permutation(rng, total)[: n * mb]
+        perms = jax.vmap(
+            lambda k: jax.random.permutation(k, total)[: n * mb]
+        )(jax.random.split(rng, n_epochs))
+        idx = perms.reshape(n_epochs * n, mb)
     else:
         raise NotImplementedError(sampler)
-    return idx.reshape(n, mb)
+    return idx
+
+
+def buffer_minibatch_indices(rng, cap: int, size, n_epochs: int,
+                             n_batches: int, mb: int):
+    """Without-replacement minibatch indices over the first ``size`` valid
+    rows of a [cap]-row ring buffer, a fresh shuffle per epoch (≙ the
+    reference's SubsetRandomSampler over ``range(cur_buf_size)``,
+    ``storage.py:125-138``).  ``size`` may be traced: each epoch sorts the
+    valid rows to the front in random order; batch positions wrap mod
+    ``size`` only when an epoch needs more rows than are valid.
+
+    Returns i32 [n_epochs·n_batches, mb].
+    """
+    def epoch_perm(k):
+        key = jax.random.uniform(k, (cap,))
+        key = key + (jnp.arange(cap) >= size) * 10.0  # valid rows first
+        return jnp.argsort(key)
+
+    perms = jax.vmap(epoch_perm)(jax.random.split(rng, n_epochs))
+    pos = jnp.arange(n_batches * mb) % jnp.maximum(size, 1)
+    idx = jax.vmap(lambda p: p[pos])(perms)           # [n_epochs, n·mb]
+    return idx.reshape(n_epochs * n_batches, mb)

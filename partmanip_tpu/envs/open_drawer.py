@@ -39,7 +39,7 @@ from ..ops import rotations as rot
 from ..sim import builder, contact as contact_lib
 from ..sim import engine, franka, kinematics
 from ..sim.types import BoxGeoms, SimParams, TreeState
-from . import assets, base, control
+from . import assets, base, control, vision
 from .base import EnvState
 
 SUC_PROP = 0.5              # open_drawer.py:84

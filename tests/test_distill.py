@@ -65,6 +65,38 @@ class TestVisionObs:
         assert (img < 5).sum() > 100  # scene occupies part of the view
 
 
+class TestOpenDrawerVision:
+    """Vision obs on the flagship distillation task (the reference's
+    BC/DAgger configs target the drawer, cfg/dagger_tsdf.yaml)."""
+
+    def test_mesh_tsdf_obs(self):
+        from partmanip_tpu.envs.open_drawer import OpenDrawerEnv
+        cfg, sp = config.process_cfgs([
+            "--taskcfg", "open_drawer", "--algocfg", "dagger",
+            "--algo.num_envs", "2", "--sim.inner_substeps", "1",
+            "--task.maxEpisodeLength", "4",
+            "--task.obs_mode.tsdf.resolution", "8",
+            "--task.asset.num_objects", "2",
+            "--task.asset.assetRoot", "/tmp/partmanip_assets_vis",
+        ])
+        cfg["task"]["im_scale"] = 8
+        env = OpenDrawerEnv(cfg["task"], sp)
+        assert env.learn_input_mode == "mesh_tsdf"
+        state = env.init_state(jax.random.PRNGKey(0))
+        state, obs = jax.jit(env.reset)(state)
+        # open_drawer proprio_state is 0 → pure 8³ volume
+        assert obs["mesh_tsdf"].shape == (2, 512)
+        vol = np.asarray(obs["mesh_tsdf"])
+        assert np.isfinite(vol).all()
+        # cabinet + robot occupy the workspace: both signs present
+        assert (vol < 0).any() and (vol > 0.9).any()
+        # stepping with vision obs also works end-to-end
+        step = jax.jit(lambda s, a: env.step(s, a, train=True))
+        state, obs, rew, reset, extras = step(
+            state, jnp.zeros((2, env.num_actions)))
+        assert obs["mesh_tsdf"].shape == (2, 512)
+
+
 def make_teacher_ckpt(path, env, model_cfg):
     """A PPO-format teacher checkpoint on normal_state."""
     from partmanip_tpu.models.actor_critic import ActorCritic
@@ -111,6 +143,45 @@ class TestDAgger:
                 jax.tree.leaves(ts.student.actor),
                 jax.tree.leaves(p0.actor)))
             assert diff > 0
+
+
+class TestDaggerRewardReset:
+    def test_force_mask_carries_across_iterations(self, vision_env):
+        """The reward-reset mask computed at step t must reset envs at t+1
+        even across the scan/iteration boundary (n_steps=1 regime)."""
+        env, cfg, sp = vision_env
+        from partmanip_tpu.algos.dagger import DAgger
+        model_cfg = {"action_std": 0.1, "action_activate": "tanh",
+                     "clipAction": 1.0,
+                     "network": {"name": "MLP", "hid_dim": [32],
+                                 "activation": "tanh"}}
+        with tempfile.TemporaryDirectory() as td:
+            tpath = os.path.join(td, "teacher.ckpt")
+            make_teacher_ckpt(tpath, env, model_cfg)
+            # an unbeatable teacher curve: rew < thresh always fires
+            rpath = os.path.join(td, "teacher_reward.npy")
+            np.save(rpath, np.full(env.max_episode_length + 1, 1e6,
+                                   np.float32))
+            acfg = dict(cfg["algo"])
+            acfg.update({"teacher": tpath, "buf_size": 8, "n_steps": 1,
+                         "n_updates": 1, "n_minibatches": 2,
+                         "reward_reset": True, "teacher_reward": rpath,
+                         "model": model_cfg, "test_only": False})
+            dag = DAgger(env, acfg, DummyLogger())
+            assert dag.reward_reset
+            ts, es = dag.init_state(seed=0)
+            # envs past the 10-step grace period with terrible reward
+            es = es._replace(progress=jnp.full(env.num_envs, 11, jnp.int32),
+                             epis_max_rew=jnp.full(env.num_envs, 1e7),
+                             epis_max_step=jnp.full(env.num_envs, 11,
+                                                    jnp.int32))
+            ts, es, _ = dag._jit_iter(ts, es, np.float32(1e-3))
+            # the mask was computed (prog 12 > 10, rew < 1e6) and stored
+            assert bool(np.asarray(ts.pending_force).all())
+            # ... and fires on the *next* iteration: progress resets to 1
+            ts, es, _ = dag._jit_iter(ts, es, np.float32(1e-3))
+            np.testing.assert_array_equal(np.asarray(es.progress),
+                                          np.ones(env.num_envs))
 
 
 class TestBC:
