@@ -67,6 +67,7 @@ def parse_sim_params(cfg: dict) -> SimParams:
         contact_kt=float(sim.get("contact_kt", 1.0e3)),
         contact_offset=float(sim.get("contact_offset", 0.005)),
         coriolis=bool(sim.get("coriolis", False)),
+        use_fused=bool(sim.get("use_fused", True)),
     )
 
 

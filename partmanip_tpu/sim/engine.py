@@ -335,8 +335,15 @@ def physics_step(scene: SceneSpec, state: SceneState,
                  pos_targets) -> SceneState:
     """Advance one control step: substeps × inner_substeps inner steps with
     constant PD targets (≙ ``gym.set_dof_position_target_tensor`` +
-    ``control_freq_inv`` loop in ``hand_base.py:282-284``)."""
+    ``control_freq_inv`` loop in ``hand_base.py:282-284``).
+
+    Dispatches to the fused Pallas kernel (sim/fused.py) when the scene
+    supports it; the jnp graph below is the reference/fallback path."""
     p = scene.params
+    if getattr(p, "use_fused", True):
+        from . import fused
+        if fused.fused_supported(scene, state.robot.qpos.shape[0]):
+            return fused.fused_physics_step(scene, state, pos_targets)
     n = p.substeps * p.inner_substeps
     h = p.dt / n
     gravity = jnp.array([0.0, 0.0, p.gravity])

@@ -142,6 +142,9 @@ class SimParams(NamedTuple):
     # 1e3 joint damping + PD drives of the PartManip scenes; the analytic
     # term stays available for generic articulations.
     coriolis: bool = True
+    # Run the inner step on the fused Pallas kernel when the scene supports
+    # it (see sim/fused.py docstring for the fallback conditions).
+    use_fused: bool = True
 
     @property
     def h(self) -> float:
