@@ -58,13 +58,18 @@ def main():
     ts, env_state, metrics = ppo._jit_train_iter(ts, env_state, ppo.lr)
     _ = float(list(metrics.values())[0])
 
-    # One scalar fetch per iteration forces completion (block_until_ready
-    # returns early through tunneled runtimes) and matches the real train
-    # loop, which pulls its metrics every iteration.
+    # Pipelined metric fetch, matching PPO.run: iteration i's scalars are
+    # pulled while i+1 runs on-device, so the loop never blocks on the
+    # device→host RTT; the trailing fetch forces completion of the last
+    # iteration (block_until_ready returns early through tunneled runtimes).
     t0 = time.time()
+    prev = None
     for _ in range(args.iters):
         ts, env_state, metrics = ppo._jit_train_iter(ts, env_state, ppo.lr)
-        _ = float(list(metrics.values())[0])
+        if prev is not None:
+            _ = float(list(prev.values())[0])
+        prev = metrics
+    _ = float(list(prev.values())[0])
     dt = time.time() - t0
 
     steps = ppo.n_steps * args.envs * args.iters
