@@ -105,6 +105,20 @@ class PPO:
         self.total_envsteps = 0
         self.total_time = 0.0
 
+        # env-axis data parallelism over a device mesh (SURVEY §2
+        # parallelism inventory): sim state / rollouts sharded over 'env',
+        # params and optimizer states replicated, gradient psum inserted by
+        # GSPMD during the minibatch loss reductions.
+        par = cfg.get("parallel") or {}
+        self.num_devices = int(par.get("num_devices") or 1)
+        self.mesh = None
+        if self.num_devices > 1:
+            from ..parallel import mesh as mesh_lib
+            assert self.num_envs % self.num_devices == 0, (
+                f"num_envs {self.num_envs} % num_devices "
+                f"{self.num_devices} != 0")
+            self.mesh = mesh_lib.make_mesh(self.num_devices)
+
         self._jit_train_iter = jax.jit(self._train_iteration)
         self._jit_eval_round = jax.jit(self._eval_round)
         self._jit_reset = jax.jit(self.env.reset)
@@ -140,7 +154,15 @@ class PPO:
         # iteration doesn't retrace with a different abstract signature
         canon = lambda t: jax.tree.map(
             lambda x: x.astype(x.dtype) if isinstance(x, jnp.ndarray) else x, t)
-        return canon(ts), canon(env_state)
+        ts, env_state = canon(ts), canon(env_state)
+        if self.mesh is not None:
+            # env-axis sharding on [E, ...] leaves; everything else
+            # replicated.  jit inherits these placements, so the fused
+            # iteration runs sharded without explicit in_shardings.
+            from ..parallel import mesh as mesh_lib
+            ts, env_state = mesh_lib.place(self.mesh, self.num_envs, ts,
+                                           env_state)
+        return ts, env_state
 
     def _select_obs(self, obs: Dict[str, jnp.ndarray]):
         o = obs[self.obs_mode]

@@ -121,6 +121,7 @@ def process_cfgs(argv=None, cfg_root: str = None):
     cfg["task"]["num_envs"] = cfg["algo"]["num_envs"]
     cfg["task"]["learn_input_mode"] = cfg["algo"]["obs_mode"]
     cfg["task"]["add_proprio_obs"] = cfg["algo"]["add_proprio_obs"]
+    cfg["algo"]["parallel"] = cfg.get("parallel") or {}
     cfg["algo_name"] = cfg["algo"]["algo"]
     cfg["task_name"] = cfg["task"]["task"]
 
