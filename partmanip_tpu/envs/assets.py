@@ -40,6 +40,59 @@ class BoxDef:
     friction: float = 1.0
 
 
+@dataclasses.dataclass
+class MeshDef:
+    """A mesh collision geom (real GAPartNet assets; collided via baked SDF
+    grids, ≙ PhysX SDF-mode ``<sdf resolution>`` collision)."""
+
+    link: str
+    filename: str                          # resolved absolute path
+    origin_pos: Tuple[float, float, float] = (0.0, 0.0, 0.0)
+    origin_rpy: Tuple[float, float, float] = (0.0, 0.0, 0.0)
+    scale: Tuple[float, float, float] = (1.0, 1.0, 1.0)
+    friction: float = 1.0
+
+
+def load_obj_mesh(path: str):
+    """Minimal wavefront .obj reader → (vertices [V, 3], faces [F, 3]).
+    Polygon faces are fan-triangulated; v/vt/vn indices resolved to v."""
+    verts, faces = [], []
+    with open(path) as f:
+        for line in f:
+            if line.startswith("v "):
+                parts = line.split()
+                verts.append([float(parts[1]), float(parts[2]),
+                              float(parts[3])])
+            elif line.startswith("f "):
+                idx = [int(tok.split("/")[0]) for tok in line.split()[1:]]
+                idx = [i - 1 if i > 0 else len(verts) + i for i in idx]
+                for k in range(1, len(idx) - 1):
+                    faces.append([idx[0], idx[k], idx[k + 1]])
+    return (np.asarray(verts, np.float32), np.asarray(faces, np.int32))
+
+
+def mesh_sdf_cached(path: str, scale: np.ndarray, voxel_size: float = None):
+    """Baked SDF grid for a (scaled) mesh, cached next to it as .npy
+    (≙ the reference's per-asset ``sdf.npy`` caches, mesh2sdf.py:64-87)."""
+    from ..ops import sdf as sdf_ops
+    scale = np.asarray(scale, np.float32).reshape(-1)
+    if scale.size == 1:
+        scale = np.repeat(scale, 3)
+    verts, faces = load_obj_mesh(path)
+    verts = verts * scale[None]
+    extent = float((verts.max(0) - verts.min(0)).max())
+    if voxel_size is None:
+        voxel_size = float(np.clip(extent / 48.0, 0.003, 0.02))
+    tag = f".sdf_s{scale[0]:g}_{scale[1]:g}_{scale[2]:g}_v{voxel_size:g}.npy"
+    cache = path + tag
+    if os.path.exists(cache):
+        return np.load(cache, allow_pickle=True).item()
+    grid = sdf_ops.bake_mesh_sdf(verts, faces, voxel_size=voxel_size,
+                                 trunc=6.0 * voxel_size)
+    np.save(cache, grid)
+    return grid
+
+
 # ---------------------------------------------------------------------------
 # Procedural cabinet generation
 # ---------------------------------------------------------------------------
@@ -53,12 +106,17 @@ def _handle_bbox_corners(center, out_h, long_h, short_h):
     return np.stack([c + so * O + sl * L + ss * S for so, sl, ss in signs])
 
 
-def generate_drawer_asset(out_dir: str, split: str, idx: int) -> str:
+def generate_drawer_asset(out_dir: str, split: str, idx: int,
+                          mesh_handle: bool = False) -> str:
     """Write one procedural cabinet with a prismatic target drawer.
 
     Deterministic per (split, idx).  ``valInter`` draws from a shifted size /
     handle distribution (cross-category generalization split); ``valIntra``
     uses the train distribution with held-out seeds.
+
+    ``mesh_handle`` emits the handle bars as **mesh** collision geoms
+    (.obj files referenced from the URDF) instead of boxes — the layout of
+    real GAPartNet assets, collided via baked SDF grids.
 
     Returns the created asset directory path.
     """
@@ -90,6 +148,7 @@ def generate_drawer_asset(out_dir: str, split: str, idx: int) -> str:
     front_x = -Dp / 2.0
     links: List[dict] = []
     boxes: List[BoxDef] = []
+    mesh_geoms: List[tuple] = []   # (link, filename, full size, origin)
     links.append({"name": "base_link", "parent": None, "joint": None})
     # frame: bottom, top, left, right, back
     for nm, size, pos in [
@@ -154,7 +213,10 @@ def generate_drawer_asset(out_dir: str, split: str, idx: int) -> str:
             hsize = (2 * ho, 2 * hl, 2 * hs)
             long_h = np.array([0, hl, 0])
             short_h = np.array([0, 0, hs])
-        boxes.append(BoxDef(hnm, hsize, (hx, 0, zc)))
+        if mesh_handle:
+            mesh_geoms.append((hnm, f"handle_{d}.obj", hsize, (hx, 0, zc)))
+        else:
+            boxes.append(BoxDef(hnm, hsize, (hx, 0, zc)))
         # stand-off posts connecting bar to panel
         post = (gap, 0.02, 0.02)
         for sgn in (-1, 1):
@@ -183,17 +245,40 @@ def generate_drawer_asset(out_dir: str, split: str, idx: int) -> str:
     dirname = f"{asset_id}-{link_name}-{handle_name}-{joint_name}-0"
     asset_dir = pjoin(out_dir, dirname)
     os.makedirs(asset_dir, exist_ok=True)
-    _write_urdf(pjoin(asset_dir, "mobility_new.urdf"), links, boxes)
+    for _, fn, size, _ in mesh_geoms:
+        _write_box_obj(pjoin(asset_dir, fn), size)
+    _write_urdf(pjoin(asset_dir, "mobility_new.urdf"), links, boxes,
+                mesh_geoms)
     with open(pjoin(asset_dir, "bbox_info.json"), "w") as f:
         json.dump(bbox_info, f)
     return asset_dir
 
 
-def _write_urdf(path: str, links: List[dict], boxes: List[BoxDef]):
+def _write_box_obj(path: str, size):
+    """An axis-aligned box as a triangulated wavefront .obj."""
+    hx, hy, hz = np.asarray(size, np.float64) / 2.0
+    v = np.array([[sx * hx, sy * hy, sz * hz]
+                  for sx in (-1, 1) for sy in (-1, 1) for sz in (-1, 1)])
+    # faces (1-indexed) with outward orientation per axis pair
+    quads = [(1, 2, 4, 3), (5, 7, 8, 6),   # -x, +x
+             (1, 5, 6, 2), (3, 4, 8, 7),   # -y, +y
+             (1, 3, 7, 5), (2, 6, 8, 4)]   # -z, +z
+    with open(path, "w") as f:
+        for p in v:
+            f.write(f"v {p[0]:.6f} {p[1]:.6f} {p[2]:.6f}\n")
+        for a, b, c, d in quads:
+            f.write(f"f {a} {b} {c}\nf {a} {c} {d}\n")
+
+
+def _write_urdf(path: str, links: List[dict], boxes: List[BoxDef],
+                mesh_geoms: List[tuple] = ()):
     robot = ET.Element("robot", name="cabinet")
     by_link = {}
     for b in boxes:
         by_link.setdefault(b.link, []).append(b)
+    mesh_by_link = {}
+    for m in mesh_geoms:
+        mesh_by_link.setdefault(m[0], []).append(m)
     for l in links:
         le = ET.SubElement(robot, "link", name=l["name"])
         for b in by_link.get(l["name"], []):
@@ -203,8 +288,16 @@ def _write_urdf(path: str, links: List[dict], boxes: List[BoxDef]):
                           rpy=" ".join(map(str, b.origin_rpy)))
             geo = ET.SubElement(col, "geometry")
             ET.SubElement(geo, "box", size=" ".join(map(str, b.size)))
+        for _, fn, size, origin in mesh_by_link.get(l["name"], []):
+            col = ET.SubElement(le, "collision")
+            ET.SubElement(col, "origin", xyz=" ".join(map(str, origin)),
+                          rpy="0 0 0")
+            geo = ET.SubElement(col, "geometry")
+            ET.SubElement(geo, "mesh", filename=fn)
         # box-derived inertial (density 400 kg/m³, thin furniture panels)
-        vol = sum(np.prod(b.size) for b in by_link.get(l["name"], [])) or 1e-6
+        vol = sum(np.prod(b.size) for b in by_link.get(l["name"], []))
+        vol += sum(np.prod(m[2]) for m in mesh_by_link.get(l["name"], []))
+        vol = vol or 1e-6
         inertial = ET.SubElement(le, "inertial")
         ET.SubElement(inertial, "mass", value=str(400.0 * vol))
     for l in links:
@@ -287,6 +380,7 @@ class ParsedObject:
     links: List[LinkDef]
     boxes: List[BoxDef]          # collision boxes with resolved link names
     dof_names: List[str]
+    meshes: List[MeshDef] = dataclasses.field(default_factory=list)
 
 
 _JT = {"prismatic": JOINT_PRISMATIC, "revolute": JOINT_REVOLUTE,
@@ -331,6 +425,7 @@ def parse_urdf(path: str) -> ParsedObject:
 
     links: List[LinkDef] = []
     boxes: List[BoxDef] = []
+    meshes: List[MeshDef] = []
     dof_names: List[str] = []
     for name in ordered:
         le = link_elems[name]
@@ -350,19 +445,42 @@ def parse_urdf(path: str) -> ParsedObject:
                            float(ie.get("iyy", 1e-4)),
                            float(ie.get("izz", 1e-4)))
         link_boxes = []
+        link_meshes = []
         for col in le.findall("collision"):
-            box = col.find("geometry/box")
-            if box is None:
-                continue
             oe = col.find("origin")
             pos = fvec(oe.get("xyz") if oe is not None else None, (0, 0, 0))
             rpy = fvec(oe.get("rpy") if oe is not None else None, (0, 0, 0))
-            size = fvec(box.get("size"), (0.1, 0.1, 0.1))
-            link_boxes.append(BoxDef(name, size, pos, rpy))
+            box = col.find("geometry/box")
+            if box is not None:
+                size = fvec(box.get("size"), (0.1, 0.1, 0.1))
+                link_boxes.append(BoxDef(name, size, pos, rpy))
+                continue
+            mesh = col.find("geometry/mesh")
+            if mesh is not None:
+                fn = mesh.get("filename") or ""
+                fn = fn.replace("package://", "")
+                if not os.path.isabs(fn):
+                    fn = pjoin(os.path.dirname(os.path.abspath(path)), fn)
+                mscale = fvec(mesh.get("scale"), (1.0, 1.0, 1.0))
+                link_meshes.append(MeshDef(name, fn, pos, rpy, mscale))
         boxes.extend(link_boxes)
+        meshes.extend(link_meshes)
         if mass == 0.0 and link_boxes:
             vol = sum(np.prod(b.size) for b in link_boxes)
             mass = 400.0 * vol
+        elif mass == 0.0 and link_meshes:
+            # shell-density estimate from the mesh AABB volume (matching the
+            # box heuristic; real URDFs normally carry inertials)
+            try:
+                v, _ = load_obj_mesh(link_meshes[0].filename)
+                ext = (v.max(0) - v.min(0)) * np.asarray(
+                    link_meshes[0].scale)
+                mass = 400.0 * float(np.prod(np.abs(ext)))
+                inertia = (max(mass / 12 * (ext[1] ** 2 + ext[2] ** 2), 1e-5),
+                           max(mass / 12 * (ext[0] ** 2 + ext[2] ** 2), 1e-5),
+                           max(mass / 12 * (ext[0] ** 2 + ext[1] ** 2), 1e-5))
+            except (OSError, ValueError):
+                pass
         if inert is None or inert.find("inertia") is None:
             # box-shell inertia estimate from the largest collision box
             if link_boxes:
@@ -399,7 +517,8 @@ def parse_urdf(path: str) -> ParsedObject:
         links.append(ld)
         if jt != JOINT_FIXED:
             dof_names.append(j.get("name"))
-    return ParsedObject(links=links, boxes=boxes, dof_names=dof_names)
+    return ParsedObject(links=links, boxes=boxes, dof_names=dof_names,
+                        meshes=meshes)
 
 
 # ---------------------------------------------------------------------------
@@ -424,6 +543,11 @@ class DrawerObject:
     joint_upper: float
     num_dofs: int
     num_links: int
+    # baked mesh-SDF collision geoms (empty lists for box-only assets)
+    grids_link_idx: List[int] = dataclasses.field(default_factory=list)
+    grids_pos: List[np.ndarray] = dataclasses.field(default_factory=list)
+    grids_quat: List[np.ndarray] = dataclasses.field(default_factory=list)
+    grid_dicts: List[dict] = dataclasses.field(default_factory=list)
 
 
 def load_drawer_object(asset_dir: str, obj_scale: float,
@@ -479,6 +603,21 @@ def load_drawer_object(asset_dir: str, obj_scale: float,
         bh[gi] = np.asarray(b.size) * s / 2.0
         bm[gi] = 1.0
 
+    # mesh collision geoms → baked SDF grids (real GAPartNet assets; the
+    # engine collides robot spheres against these via trilinear queries)
+    g_link, g_pos, g_quat, g_dicts = [], [], [], []
+    for m in parsed.meshes:
+        try:
+            grid = mesh_sdf_cached(m.filename,
+                                   np.asarray(m.scale, np.float32) * s)
+        except (OSError, ValueError) as e:
+            print(f"WARNING: skipping mesh geom {m.filename}: {e}")
+            continue
+        g_link.append(built.link_index[m.link])
+        g_pos.append(np.asarray(m.origin_pos, np.float32) * s)
+        g_quat.append(_rpy_to_quat(m.origin_rpy).astype(np.float32))
+        g_dicts.append(grid)
+
     li = bbox_info["link_name"].index(link_name)
     hi = bbox_info["link_name"].index(handle_name)
     handle_bbox = np.asarray(bbox_info["bbox_world"][hi], np.float32) * s
@@ -487,6 +626,8 @@ def load_drawer_object(asset_dir: str, obj_scale: float,
         built=built,
         boxes_link_idx=bl, boxes_pos=bp, boxes_quat=bq, boxes_half=bh,
         boxes_mask=bm,
+        grids_link_idx=g_link, grids_pos=g_pos, grids_quat=g_quat,
+        grid_dicts=g_dicts,
         target_dof=d,
         target_link=built.link_index[link_name],
         target_handle=built.link_index[handle_name],

@@ -109,9 +109,41 @@ class OpenDrawerEnv:
             geom_mask=np.stack([o.boxes_mask for o in objs])[obj_ids],
             friction=np.ones((E, max_boxes), np.float32),
         )
+        # mesh-SDF collision geoms (real GAPartNet assets carry mesh geoms;
+        # procedural assets are box-only and leave this None → fused kernel)
+        obj_grids = grid_stack = None
+        max_K = max((len(o.grids_link_idx) for o in objs), default=0)
+        if max_K > 0:
+            from ..ops import sdf as sdf_ops
+            from ..sim.types import GridGeoms
+            grid_dicts = []
+            n_obj = len(objs)
+            glink = np.zeros((n_obj, max_K), np.int32)
+            ggid = np.zeros((n_obj, max_K), np.int32)
+            gpos = np.zeros((n_obj, max_K, 3), np.float32)
+            gquat = np.tile(np.array([0, 0, 0, 1], np.float32),
+                            (n_obj, max_K, 1))
+            gmask = np.zeros((n_obj, max_K), np.float32)
+            for i, o in enumerate(objs):
+                for k in range(len(o.grids_link_idx)):
+                    glink[i, k] = o.grids_link_idx[k]
+                    ggid[i, k] = len(grid_dicts)
+                    grid_dicts.append(o.grid_dicts[k])
+                    gpos[i, k] = o.grids_pos[k]
+                    gquat[i, k] = o.grids_quat[k]
+                    gmask[i, k] = 1.0
+            trunc = 6.0 * max(g["voxel_size"] for g in grid_dicts)
+            grid_stack = sdf_ops.stack_grids(grid_dicts, pad_value=trunc)
+            obj_grids = GridGeoms(
+                link_idx=glink[obj_ids], grid_id=ggid[obj_ids],
+                offset_pos=gpos[obj_ids], offset_quat=gquat[obj_ids],
+                geom_mask=gmask[obj_ids],
+                friction=np.ones((E, max_K), np.float32))
+
         self.scene = engine.SceneSpec(
             robot=self.built.spec, spheres=self.spheres, params=sim_params,
-            obj_tree=obj_spec_env, obj_boxes=boxes)
+            obj_tree=obj_spec_env, obj_boxes=boxes,
+            obj_grids=obj_grids, grid_stack=grid_stack)
 
         # per-env part annotations (≙ the stacked init tensors, :76-81)
         self.part_bbox_init = np.stack([o.handle_bbox for o in objs])[obj_ids]

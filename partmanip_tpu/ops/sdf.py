@@ -263,3 +263,62 @@ def scene_tsdf(stack: GridStack, part_rot, part_pos, points,
         z = points[..., 2] if points.ndim == 3 else points[None, :, 2]
         d = jnp.minimum(d, z)
     return jnp.clip(d / sdf_trunc, -1.0, 1.0)
+
+
+def grid_query_grad(stack: GridStack, gid: jnp.ndarray,
+                    points: jnp.ndarray, outside_value: float):
+    """Trilinear SDF value + gradient with a per-query grid index.
+
+    The contact-path variant of :func:`grid_query` (spheres vs baked mesh
+    geoms, ≙ PhysX SDF-mode collision ``<sdf resolution>``,
+    ``franka_panda_sdf_mobile.urdf:231``): each query carries its own grid id
+    so heterogeneous per-env objects batch in one gather.
+
+    Args:
+        gid: i32 [...] grid index into the stack per query point.
+        points: f32 [..., 3] in the grid's local (already scaled) frame.
+    Returns:
+        (value [...], grad [..., 3] — the analytic gradient of the trilinear
+        interpolant, zero outside the grid).
+    """
+    M = stack.sdf.shape[0]
+    X, Y, Z = stack.sdf.shape[1:]
+    bbox = stack.bbox_min[gid]                      # [..., 3]
+    vs = stack.voxel_size[gid]                      # [...]
+    idx = (points - bbox) / vs[..., None]
+    hi = jnp.asarray([X - 2, Y - 2, Z - 2], jnp.float32)
+    valid = jnp.all((idx >= 1.0) & (idx <= hi), axis=-1)
+    idx = jnp.clip(idx, 0.0, hi)
+    i0 = idx.astype(jnp.int32)
+    f = idx - i0
+    fx, fy, fz = f[..., 0], f[..., 1], f[..., 2]
+
+    flat = stack.sdf.reshape(-1)
+    sy, sz = Y * Z, Z
+    base = gid * (X * Y * Z) + i0[..., 0] * sy + i0[..., 1] * sz + i0[..., 2]
+
+    def g(d):
+        return flat[(base + d).reshape(-1)].reshape(base.shape)
+
+    c000, c001 = g(0), g(1)
+    c010, c011 = g(sz), g(sz + 1)
+    c100, c101 = g(sy), g(sy + 1)
+    c110, c111 = g(sy + sz), g(sy + sz + 1)
+
+    # interpolate down the axes, keeping the partials
+    c00 = c000 * (1 - fz) + c001 * fz
+    c01 = c010 * (1 - fz) + c011 * fz
+    c10 = c100 * (1 - fz) + c101 * fz
+    c11 = c110 * (1 - fz) + c111 * fz
+    c0 = c00 * (1 - fy) + c01 * fy
+    c1 = c10 * (1 - fy) + c11 * fy
+    val = c0 * (1 - fx) + c1 * fx
+
+    dval_dx = (c1 - c0)
+    dval_dy = ((c01 - c00) * (1 - fx) + (c11 - c10) * fx)
+    dval_dz = (((c001 - c000) * (1 - fy) + (c011 - c010) * fy) * (1 - fx)
+               + ((c101 - c100) * (1 - fy) + (c111 - c110) * fy) * fx)
+    grad = jnp.stack([dval_dx, dval_dy, dval_dz], axis=-1) / vs[..., None]
+    val = jnp.where(valid, val, outside_value)
+    grad = jnp.where(valid[..., None], grad, 0.0)
+    return val, grad

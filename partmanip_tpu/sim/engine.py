@@ -24,9 +24,10 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops import rotations as rot
+from ..ops import sdf as sdf_ops
 from . import contact, dynamics, kinematics
-from .types import (BoxGeoms, FreeBodySpec, FreeBodyState, SimParams,
-                    SphereGeoms, TreeSpec, TreeState)
+from .types import (BoxGeoms, FreeBodySpec, FreeBodyState, GridGeoms,
+                    SimParams, SphereGeoms, TreeSpec, TreeState)
 
 
 class SceneSpec(NamedTuple):
@@ -36,6 +37,10 @@ class SceneSpec(NamedTuple):
     obj_tree: Optional[TreeSpec] = None
     obj_boxes: Optional[BoxGeoms] = None
     free_body: Optional[FreeBodySpec] = None
+    # baked mesh-SDF collision geoms on the object tree (real GAPartNet
+    # assets; ≙ PhysX SDF-mode mesh collision) + their shared grid stack
+    obj_grids: Optional["GridGeoms"] = None
+    grid_stack: Optional[object] = None  # ops.sdf.GridStack
 
 
 class SceneState(NamedTuple):
@@ -212,6 +217,90 @@ def _inner_step(scene: SceneSpec, state: SceneState, pos_targets, h,
                            imp_coef(t_osg, 0.3), n_osg, n_osg)
         obj_reaction = (tau_o, Jv_box, N_box)
 
+    # 3b) robot vs baked mesh-SDF geoms on the object tree (real GAPartNet
+    # assets; ≙ PhysX SDF-mode collision).  Same penalty/implicit treatment
+    # as the boxes; the trilinear gradient supplies the contact normal.
+    G = scene.obj_boxes.link_idx.shape[-1] if scene.obj_tree is not None else 0
+    KOFF = 2 + G                       # partner ids of grid geoms start here
+    gp = gq = None
+    if scene.obj_grids is not None:
+        gg = scene.obj_grids
+        K = gg.link_idx.shape[-1]
+        glink = jnp.broadcast_to(gg.link_idx, (E, K))
+        gp, gq = rot.transform_compose(
+            kinematics._take_env(fk_o.link_pos, glink),
+            kinematics._take_env(fk_o.link_quat, glink),
+            jnp.broadcast_to(gg.offset_pos, (E, K, 3)),
+            jnp.broadcast_to(gg.offset_quat, (E, K, 4)))
+        J6g = kinematics.frame_jacobian(scene.obj_tree, fk_o, glink)
+        Jw_g = J6g[:, :, 3:, :]
+        r_gl = gp - kinematics._take_env(fk_o.link_pos, glink)
+        Jv_g = J6g[:, :, :3, :] + jnp.cross(
+            jnp.swapaxes(Jw_g, -1, -2), r_gl[:, :, None, :]
+        ).swapaxes(-1, -2)
+        qv_o = state.obj.qvel
+        v_gc = jnp.einsum("ekad,ed->eka", Jv_g, qv_o)
+        w_g = jnp.einsum("ekad,ed->eka", Jw_g, qv_o)
+
+        relg = centers[:, :, None, :] - gp[:, None, :, :]       # [E,S,K,3]
+        gq_b = jnp.broadcast_to(gq[:, None], (E, S, K, 4))
+        p_locg = rot.quat_rotate_inverse(gq_b, relg)
+        gid = jnp.broadcast_to(
+            jnp.broadcast_to(gg.grid_id, (E, K))[:, None, :], (E, S, K))
+        val, grad = sdf_ops.grid_query_grad(scene.grid_stack, gid, p_locg,
+                                            outside_value=1.0)
+        gnorm = jnp.linalg.norm(grad, axis=-1)
+        n_locg = grad / jnp.maximum(gnorm, 1e-9)[..., None]
+        n_g2 = rot.quat_rotate(gq_b, n_locg)                    # [E,S,K,3]
+        depth_g2 = val - radii[None, :, None]
+        v_og = v_gc[:, None] + jnp.cross(w_g[:, None], relg)
+        mu_g2 = 0.5 * (mu_s[None, :, None]
+                       + jnp.broadcast_to(gg.friction, (E, K))[:, None, :])
+        act_g2 = (jnp.broadcast_to(gg.geom_mask, (E, K))[:, None, :]
+                  * (gnorm > 1e-6))
+        cs_g2 = contact.ContactSet(
+            point=centers[:, :, None, :].repeat(K, 2).reshape(E, S * K, 3),
+            normal=n_g2.reshape(E, S * K, 3),
+            depth=depth_g2.reshape(E, S * K),
+            active=act_g2.reshape(E, S * K),
+            sphere_idx=jnp.broadcast_to(
+                jnp.arange(S)[None, :, None], (E, S, K)).reshape(E, S * K),
+            friction=mu_g2.reshape(E, S * K),
+            v_other=v_og.reshape(E, S * K, 3),
+        )
+        vs_g2 = jnp.broadcast_to(
+            v_s[:, :, None, :], (E, S, K, 3)).reshape(E, -1, 3)
+        f_g2, fn_g2, t_g2 = contact.penalty_forces(cs_g2, vs_g2, p, 0.3)
+        f_skc = f_g2.reshape(E, S, K, 3)
+        t_skc = t_g2.reshape(E, S, K)
+        F_sphere = F_sphere + jnp.sum(f_skc, axis=2)
+        N_sphere = N_sphere + _nnT(n_g2, imp_coef(t_skc, 0.3))
+        # best grid per sphere for the anchors
+        d_sk = depth_g2
+        masked_dk = jnp.where(t_skc > 0, d_sk, 1e9)
+        kbest = jnp.argmin(masked_dk, axis=-1)
+        take_k = lambda a2: jnp.take_along_axis(
+            a2, kbest[..., None, None] if a2.ndim == 4 else kbest[..., None],
+            axis=2)[:, :, 0]
+        consider(take_k(d_sk), KOFF + kbest, take_k(n_g2),
+                 take_k(fn_g2.reshape(E, S, K)), take_k(mu_g2),
+                 (take_k(masked_dk) < 0).astype(jnp.float32), take_k(v_og))
+        # reactions on the object through the grid-link Jacobians
+        rrg = (centers[:, :, None, :] - gp[:, None, :, :])
+        F_gr = -jnp.sum(f_skc, axis=1)
+        T_gr = -jnp.sum(jnp.cross(rrg, f_skc), axis=1)
+        tau_gr = (jnp.einsum("ekad,eka->ed", Jv_g, F_gr)
+                  + jnp.einsum("ekad,eka->ed", Jw_g, T_gr))
+        N_gr = jnp.einsum("esk,eska,eskb->ekab",
+                          imp_coef(t_skc, 0.3), n_g2, n_g2)
+        if obj_reaction is None:
+            obj_reaction = (tau_gr, Jv_g, N_gr)
+        else:
+            tau_o0, Jv0, N0 = obj_reaction
+            obj_reaction = (tau_o0 + tau_gr,
+                            jnp.concatenate([Jv0, Jv_g], axis=1),
+                            jnp.concatenate([N0, N_gr], axis=1))
+
     # ---- stick-slip tangential friction via anchors ----
     anchors = state.anchors
     if anchors is None:
@@ -225,12 +314,20 @@ def _inner_step(scene: SceneSpec, state: SceneState, pos_targets, h,
         if scene.free_body is not None:
             cube_w = rot.quat_rotate(state.body.quat[:, None], local)                 + state.body.pos[:, None]
             out = jnp.where((pid == 1)[..., None], cube_w, out)
-        if scene.obj_tree is not None:
+        if scene.obj_tree is not None and G > 0:
             g = jnp.clip(pid - 2, 0, G - 1)
             bpg = jnp.take_along_axis(bp, g[..., None], axis=1)
             bqg = jnp.take_along_axis(bq, g[..., None], axis=1)
             box_w = rot.quat_rotate(bqg, local) + bpg
-            out = jnp.where((pid >= 2)[..., None], box_w, out)
+            out = jnp.where(((pid >= 2) & (pid < KOFF))[..., None],
+                            box_w, out)
+        if gp is not None:
+            K = gp.shape[1]
+            k = jnp.clip(pid - KOFF, 0, K - 1)
+            gpk = jnp.take_along_axis(gp, k[..., None], axis=1)
+            gqk = jnp.take_along_axis(gq, k[..., None], axis=1)
+            grid_w = rot.quat_rotate(gqk, local) + gpk
+            out = jnp.where((pid >= KOFF)[..., None], grid_w, out)
         return out
 
     def to_local(world, pid):
@@ -239,12 +336,20 @@ def _inner_step(scene: SceneSpec, state: SceneState, pos_targets, h,
             cube_l = rot.quat_rotate_inverse(
                 state.body.quat[:, None], world - state.body.pos[:, None])
             out = jnp.where((pid == 1)[..., None], cube_l, out)
-        if scene.obj_tree is not None:
+        if scene.obj_tree is not None and G > 0:
             g = jnp.clip(pid - 2, 0, G - 1)
             bpg = jnp.take_along_axis(bp, g[..., None], axis=1)
             bqg = jnp.take_along_axis(bq, g[..., None], axis=1)
             box_l = rot.quat_rotate_inverse(bqg, world - bpg)
-            out = jnp.where((pid >= 2)[..., None], box_l, out)
+            out = jnp.where(((pid >= 2) & (pid < KOFF))[..., None],
+                            box_l, out)
+        if gp is not None:
+            K = gp.shape[1]
+            k = jnp.clip(pid - KOFF, 0, K - 1)
+            gpk = jnp.take_along_axis(gp, k[..., None], axis=1)
+            gqk = jnp.take_along_axis(gq, k[..., None], axis=1)
+            grid_l = rot.quat_rotate_inverse(gqk, world - gpk)
+            out = jnp.where((pid >= KOFF)[..., None], grid_l, out)
         return out
 
     sticky = jnp.broadcast_to(jnp.asarray(scene.spheres.sticky)[None], (E, S))
@@ -268,17 +373,29 @@ def _inner_step(scene: SceneSpec, state: SceneState, pos_targets, h,
         t_c = t_c - jnp.sum(
             jnp.cross(centers - state.body.pos[:, None], ft * is_cube), axis=1)
         cube_wrench = (f_c, t_c)
-    if scene.obj_tree is not None:
+    if scene.obj_tree is not None and G > 0:
         onehot = (best["id"][..., None] - 2
                   == jnp.arange(G)[None, None]).astype(jnp.float32)  # [E,S,G]
         F_fric = -jnp.einsum("esg,esa->ega", onehot, ft)
         r_sb = centers[:, :, None, :] - bp[:, None, :, :]
         T_fric = -jnp.einsum("esg,esga->ega", onehot,
                              jnp.cross(r_sb, ft[:, :, None, :]))
-        tau_o_f, Jv_box, N_box = obj_reaction
+        tau_o_f, Jp_o, N_o = obj_reaction
         tau_o_f = tau_o_f + (jnp.einsum("egad,ega->ed", Jv_box, F_fric)
                              + jnp.einsum("egad,ega->ed", Jw_box, T_fric))
-        obj_reaction = (tau_o_f, Jv_box, N_box)
+        obj_reaction = (tau_o_f, Jp_o, N_o)
+    if gp is not None:
+        K = gp.shape[1]
+        onehot_k = (best["id"][..., None] - KOFF
+                    == jnp.arange(K)[None, None]).astype(jnp.float32)
+        F_fk = -jnp.einsum("esk,esa->eka", onehot_k, ft)
+        r_sk = centers[:, :, None, :] - gp[:, None, :, :]
+        T_fk = -jnp.einsum("esk,eska->eka", onehot_k,
+                           jnp.cross(r_sk, ft[:, :, None, :]))
+        tau_o_f, Jp_o, N_o = obj_reaction
+        tau_o_f = tau_o_f + (jnp.einsum("ekad,eka->ed", Jv_g, F_fk)
+                             + jnp.einsum("ekad,eka->ed", Jw_g, T_fk))
+        obj_reaction = (tau_o_f, Jp_o, N_o)
 
     implicit = dynamics.ImplicitBlocks(Jp=Jp_s, N=N_sphere)
     tau_r = jnp.einsum("esad,esa->ed", Jp_s, F_sphere)

@@ -1106,6 +1106,10 @@ def fused_supported(scene, E: int) -> bool:
         return False
     if jax.default_backend() != "tpu" and not ALLOW_INTERPRET:
         return False
+    if getattr(scene, "obj_grids", None) is not None:
+        # mesh-SDF collision (trilinear gathers) runs on the reference jnp
+        # engine; the gather-free kernel covers analytic-geometry scenes
+        return False
     try:
         if np.asarray(scene.robot.parent).shape[0] != 1:
             return False

@@ -125,6 +125,20 @@ class BoxGeoms(NamedTuple):
     friction: Array     # f32 [E?, G]
 
 
+class GridGeoms(NamedTuple):
+    """Baked mesh-SDF collision geoms attached to articulation links
+    (≙ PhysX SDF-mode mesh collision, ``<sdf resolution>`` in the reference
+    URDFs).  The grids themselves live in a shared ``ops.sdf.GridStack``
+    (SceneSpec.grid_stack); each geom references one by index."""
+
+    link_idx: Array     # i32 [E?, K]
+    grid_id: Array      # i32 [E?, K] index into the scene GridStack
+    offset_pos: Array   # f32 [E?, K, 3] grid frame in link frame
+    offset_quat: Array  # f32 [E?, K, 4]
+    geom_mask: Array    # f32 [E?, K]
+    friction: Array     # f32 [E?, K]
+
+
 class SimParams(NamedTuple):
     """Global integration parameters (≙ the reference's PhysX ``SimParams``
     block, ``utils/config.py:9-33`` / ``cfg/base_cfg.yaml:31-45``)."""
