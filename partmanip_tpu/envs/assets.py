@@ -176,9 +176,12 @@ def generate_drawer_asset(out_dir: str, split: str, idx: int,
         travel = Dp * rng.uniform(0.55, 0.75)
         links.append({
             "name": nm, "parent": "base_link",
+            # EVERY drawer joint is simulated (the reference sets DOF props
+            # for all object dofs, open_drawer.py:162-167; only the target
+            # dof feeds reward/obs)
             "joint": {
                 "name": jn,
-                "type": "prismatic" if is_target else "fixed",
+                "type": "prismatic",
                 "axis": (-1.0, 0.0, 0.0),
                 "origin": (0.0, 0.0, 0.0),
                 "lower": 0.0, "upper": travel,
@@ -245,6 +248,8 @@ def generate_drawer_asset(out_dir: str, split: str, idx: int,
     dirname = f"{asset_id}-{link_name}-{handle_name}-{joint_name}-0"
     asset_dir = pjoin(out_dir, dirname)
     os.makedirs(asset_dir, exist_ok=True)
+    with open(pjoin(out_dir, ".genver"), "w") as f:
+        f.write(str(DRAWER_GEN_VERSION))
     for _, fn, size, _ in mesh_geoms:
         _write_box_obj(pjoin(asset_dir, fn), size)
     _write_urdf(pjoin(asset_dir, "mobility_new.urdf"), links, boxes,
@@ -319,17 +324,38 @@ def _write_urdf(path: str, links: List[dict], boxes: List[BoxDef],
     ET.ElementTree(robot).write(path)
 
 
+# Bump whenever generate_drawer_asset output changes: stale cached splits
+# (repo assets/ or test /tmp roots) are wiped and regenerated.
+DRAWER_GEN_VERSION = 2
+
+
 def ensure_drawer_assets(asset_root: str, split: str, n: int) -> List[str]:
-    """Generate procedural assets if the split folder is missing/short; return
-    the sorted asset dir list (≙ the reference's folder scan,
+    """Generate procedural assets if the split folder is missing/short/stale;
+    return the sorted asset dir list (≙ the reference's folder scan,
     ``open_drawer.py:35-36``)."""
     split_dir = pjoin(asset_root, "objs", "drawer", split)
     os.makedirs(split_dir, exist_ok=True)
-    existing = sorted(os.listdir(split_dir))
+    ver_file = pjoin(split_dir, ".genver")
+    try:
+        with open(ver_file) as f:
+            ver = int(f.read().strip())
+    except (OSError, ValueError):
+        ver = 0
+    if ver != DRAWER_GEN_VERSION:
+        import shutil
+        for d in os.listdir(split_dir):
+            p = pjoin(split_dir, d)
+            if os.path.isdir(p):
+                shutil.rmtree(p)
+        with open(ver_file, "w") as f:
+            f.write(str(DRAWER_GEN_VERSION))
+    existing = sorted(d for d in os.listdir(split_dir)
+                      if os.path.isdir(pjoin(split_dir, d)))
     if len(existing) < n:
         for i in range(len(existing), n):
             generate_drawer_asset(split_dir, split, i)
-        existing = sorted(os.listdir(split_dir))
+        existing = sorted(d for d in os.listdir(split_dir)
+                          if os.path.isdir(pjoin(split_dir, d)))
     return [pjoin(split_dir, d) for d in existing]
 
 

@@ -21,9 +21,9 @@ heterogeneous-object machinery:
 * random reset ±0.05 m xyz, yaw quat (sin a, cos a) with a ∈ ±π/12
   (``open_drawer.py:312-318``).
 
-Known simplification vs the reference: non-target drawers are loaded as
-fixed joints (the reference simulates every object dof; only the target dof
-feeds reward/obs either way).
+Every cabinet joint is simulated (the reference sets DOF props for all
+object dofs, ``open_drawer.py:162-167``); only the per-env target dof
+feeds reward/obs, selected by joint name from the asset dir encoding.
 """
 
 from __future__ import annotations

@@ -61,7 +61,9 @@ class TestBakeAndQuery:
 def _mesh_env(n_envs=2):
     split_dir = os.path.join(ROOT, "objs", "drawer", "train")
     os.makedirs(split_dir, exist_ok=True)
-    if not os.listdir(split_dir):
+    dirs = [d for d in os.listdir(split_dir)
+            if os.path.isdir(os.path.join(split_dir, d))]
+    if not dirs:
         assets.generate_drawer_asset(split_dir, "train", 0, mesh_handle=True)
     from partmanip_tpu.envs.open_drawer import OpenDrawerEnv
     cfg, sp = config.process_cfgs(
@@ -80,7 +82,9 @@ class TestMeshHandleAsset:
         assert float(np.asarray(env.scene.obj_grids.geom_mask).max()) == 1.0
         # the grid cache landed next to the mesh
         split_dir = os.path.join(ROOT, "objs", "drawer", "train")
-        d = os.path.join(split_dir, sorted(os.listdir(split_dir))[0])
+        dirs = sorted(d for d in os.listdir(split_dir)
+                      if os.path.isdir(os.path.join(split_dir, d)))
+        d = os.path.join(split_dir, dirs[0])
         assert any(".sdf_" in f for f in os.listdir(d)), os.listdir(d)
 
     def test_handle_contact_pulls_drawer(self):

@@ -91,6 +91,61 @@ class TestOpenDrawerEnv:
         assert not bool(succ_objid.any())
 
 
+class TestNonTargetDofsSimulated:
+    """Every cabinet joint is a real simulated dof (≙ the reference setting
+    DOF props for all object dofs, open_drawer.py:162-167)."""
+
+    def test_all_drawers_are_dofs(self, env_state):
+        env, state = env_state
+        # procedural cabinets carry 2-3 drawers; every one is prismatic
+        dof_counts = np.asarray(env.scene.obj_tree.dof_mask).sum(-1)
+        assert (dof_counts >= 2).all(), dof_counts
+
+    def test_non_target_dof_inert_for_reward_and_obs(self, env_state):
+        env, state = env_state
+        td = np.asarray(env.target_dof)
+        D = state.sim.obj.qpos.shape[1]
+        # pick a non-target active dof per env
+        dm = np.asarray(env.scene.obj_tree.dof_mask)
+        nt = np.array([next(d for d in range(D)
+                            if dm[e, d] > 0 and d != td[e])
+                       for e in range(4)])
+        q2 = state.sim.obj.qpos.at[jnp.arange(4), jnp.asarray(nt)].add(0.1)
+        state2 = state._replace(
+            sim=state.sim._replace(obj=state.sim.obj._replace(qpos=q2)))
+        obs0, view0, bbox0 = env._observations(state)
+        obs1, view1, bbox1 = env._observations(state2)
+        np.testing.assert_allclose(np.asarray(obs0["normal_state"]),
+                                   np.asarray(obs1["normal_state"]),
+                                   atol=1e-6)
+        r0 = env._reward(state, view0, bbox0, None)[0]
+        r1 = env._reward(state2, view1, bbox1, None)[0]
+        np.testing.assert_allclose(np.asarray(r0), np.asarray(r1), atol=1e-6)
+
+    def test_non_target_drawer_moves_when_pushed(self, env_state):
+        """A velocity kick on a non-target drawer integrates forward — the
+        joint is simulated, not frozen."""
+        from partmanip_tpu.sim import engine
+        env, state = env_state
+        td = np.asarray(env.target_dof)
+        D = state.sim.obj.qpos.shape[1]
+        dm = np.asarray(env.scene.obj_tree.dof_mask)
+        nt = np.array([next(d for d in range(D)
+                            if dm[e, d] > 0 and d != td[e])
+                       for e in range(4)])
+        idx = (jnp.arange(4), jnp.asarray(nt))
+        v2 = state.sim.obj.qvel.at[idx].set(0.5)
+        sim = state.sim._replace(obj=state.sim.obj._replace(qvel=v2))
+        targets = jnp.tile(jnp.asarray(env.default_dof), (4, 1))
+        sim2 = jax.jit(lambda s: engine.physics_step(env.scene, s,
+                                                     targets))(sim)
+        moved = np.asarray(sim2.obj.qpos[idx])
+        assert (moved > 1e-3).all(), moved
+        # target dof stays put
+        t_idx = (jnp.arange(4), jnp.asarray(td))
+        assert np.allclose(np.asarray(sim2.obj.qpos[t_idx]), 0.0, atol=1e-4)
+
+
 class TestStabilityUnderRandomActions:
     def test_no_blowup_at_inner1(self):
         """open_drawer integrates at h = dt/substeps (inner_substeps=1, the
