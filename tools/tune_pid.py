@@ -22,6 +22,11 @@ def main():
     ap.add_argument("--envs", type=int, default=10)
     ap.add_argument("--steps", type=int, default=20)
     ap.add_argument("--cfi", type=int, default=2)
+    ap.add_argument("--const", action="store_true",
+                    help="steady-state mode: hold one constant unit command "
+                         "per channel and report achieved delta per control "
+                         "step vs commanded (tracking-bandwidth view; the "
+                         "default random mode measures transients)")
     args = ap.parse_args()
 
     import jax
@@ -61,6 +66,31 @@ def main():
         fk2 = kinematics.forward_kinematics(scene.robot, new.robot)
         view2 = control.robot_view(cfg, scene.robot, fk2, new.robot)
         return new, view, view2
+
+    if args.const:
+        # one channel at a time: base x (a0), tip x (a3), gripper (a9)
+        # gripper starts fully open → command closing (−1)
+        chans = {"base_x": (0, 1.0, 0.005), "tip_x": (3, 1.0, 0.005),
+                 "grip": (9, -1.0, -2 * params.dt / 5)}
+        for name, (ci, sign, scale) in chans.items():
+            st = state
+            a = jnp.zeros((E, 10)).at[:, ci].set(sign)
+            deltas = []
+            for i in range(10):
+                st, v0, v1 = step(st, a)
+                if name == "base_x":
+                    d = np.asarray(v1.qpos[:, 0] - v0.qpos[:, 0]).mean()
+                elif name == "tip_x":
+                    d = np.asarray(v1.tip_pos[:, 0] - v0.tip_pos[:, 0]).mean()
+                else:
+                    d = np.asarray(v1.gripper_length
+                                   - v0.gripper_length).mean()
+                deltas.append(d)
+            ss = float(np.mean(deltas[3:]))
+            print(f"{name}: commanded {scale:+.5f}/ctrl-step, "
+                  f"achieved {ss:+.5f} (ratio {ss / scale:.3f}), "
+                  f"first-step {deltas[0]:+.5f}")
+        return
 
     rng = np.random.RandomState(0)
     errs = {"tip": [], "base": [], "grip": []}
