@@ -16,12 +16,62 @@ import sys
 import time
 
 
+def vision_main(args):
+    """--vision: depth-camera throughput at the reference camera workload
+    [envs, 3 views, 288, 512] (``tasks/hand_base.py:318-322``)."""
+    import jax
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    import jax.numpy as jnp
+
+    from partmanip_tpu import config
+    from partmanip_tpu.envs import vision
+    from partmanip_tpu.envs.open_drawer import OpenDrawerEnv
+    from partmanip_tpu.ops import raymarch
+
+    cfg, sp = config.process_cfgs([
+        "--taskcfg", "open_drawer",
+        "--algo.num_envs", str(args.envs),
+        "--task.asset.num_objects", "16",
+    ])
+    env = OpenDrawerEnv(cfg["task"], sp)
+    rig = vision.VisionRig(cfg["task"]["cam"], cfg["task"]["obs_mode"]["tsdf"],
+                           "depth_tsdf")
+    state = env.init_state(jax.random.PRNGKey(0))
+
+    @jax.jit
+    def render(sim):
+        prims = vision.scene_prims(env, sim)
+        return raymarch.render_depth(prims, rig.poses, rig.intrinsic,
+                                     rig.im_h, rig.im_w)
+
+    d = render(state.sim)
+    _ = float(d[0, 0, 0, 0])          # force compile + completion
+    t0 = time.time()
+    for _ in range(args.iters):
+        d = render(state.sim)
+    _ = float(d[0, 0, 0, 0])
+    dt = time.time() - t0
+    frames = args.envs * args.iters   # one frame = 3 views
+    value = frames / dt
+    print(json.dumps({
+        "metric": f"depth_render_env_frames_per_sec_{args.envs}envs_3x288x512",
+        "value": round(value, 1),
+        "unit": "env-frames/s",
+        # fraction of rendering EVERY control step (30 Hz) for all envs
+        "vs_baseline": round(value / (30.0 * args.envs), 4),
+    }))
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--envs", type=int, default=4096)
     ap.add_argument("--iters", type=int, default=5)
     ap.add_argument("--task", default="open_drawer")
+    ap.add_argument("--vision", action="store_true",
+                    help="bench the depth renderer instead of PPO")
     args = ap.parse_args()
+    if args.vision:
+        return vision_main(args)
 
     import jax
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")

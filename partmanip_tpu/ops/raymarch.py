@@ -74,7 +74,17 @@ def render_depth(
     far: float = 100.0,
     eps: float = 1e-3,
 ) -> jnp.ndarray:
-    """Sphere-trace depth images [E, V, H, W] (positive z-depth)."""
+    """Sphere-trace depth images [E, V, H, W] (positive z-depth).
+
+    On TPU this dispatches to the Pallas tiled kernel
+    (:mod:`raymarch_tpu`) — primitives in SMEM, rays as vector lanes,
+    whole-tile early-out; the XLA path below is the CPU/test reference.
+    """
+    from . import raymarch_tpu
+    if raymarch_tpu.supported(prims, im_h, im_w):
+        return raymarch_tpu.render_depth_tpu(
+            prims, np.asarray(cam_pose), np.asarray(intrinsic), im_h, im_w,
+            n_steps=n_steps, far=far, eps=eps)
     E = prims.sphere_center.shape[0]
     V = cam_pose.shape[0]
     fx, fy = intrinsic[0, 0], intrinsic[1, 1]

@@ -1,0 +1,211 @@
+"""Pallas tiled SDF raymarcher — the TPU-native camera kernel.
+
+The XLA path in :mod:`raymarch` materializes ``[E, H·W, S]`` / ``[E, H·W, G]``
+candidate tensors per march step (~50 primitive distances per ray per step ×
+40 steps) and goes HBM-bound far below the reference camera workload of
+``[envs, 3, 288, 512]`` (``tasks/hand_base.py:318-322``).  This kernel keeps
+everything in registers/VMEM:
+
+* rays are the vector lanes — one ``pallas_call`` instance marches an (8,128)
+  tile of 1024 *spatially coherent* rays (consecutive scanline order);
+* the scene primitives (robot spheres + object boxes + ground) live in SMEM
+  as per-env scalars and are unrolled statically inside the march loop —
+  no gathers, no HBM traffic per step;
+* the march is a ``lax.while_loop`` with a whole-tile early-out: a tile
+  returns as soon as every ray in it has converged or escaped, which
+  coherent tiles do in ~8-15 steps instead of the fixed 40.
+
+Output exactly matches :func:`raymarch.render_depth` (positive z-depth,
+``far`` on miss) — parity-tested in ``tests/test_vision.py``.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+R_SUB = 8
+LANE = 128
+TILE = R_SUB * LANE
+
+
+def _tile_rays(cam_pose: np.ndarray, intrinsic: np.ndarray,
+               im_h: int, im_w: int):
+    """Precompute world ray dirs per view, padded to ray tiles.
+
+    Returns (dirs [V, T, 3, R, C] f32, origins [V, 3] f32, n_rays).
+    Padding rays point straight down from far above → they terminate on the
+    first step (depth far) and are sliced off after the kernel.
+    """
+    V = cam_pose.shape[0]
+    fx, fy = intrinsic[0, 0], intrinsic[1, 1]
+    cx, cy = intrinsic[0, 2], intrinsic[1, 2]
+    u = (np.arange(im_w) - cx) / fx
+    v = (np.arange(im_h) - cy) / fy
+    uu, vv = np.meshgrid(u, v)
+    dirs_cam = np.stack([uu, vv, np.ones_like(uu)], -1).reshape(-1, 3)
+    R = cam_pose[:, :3, :3]
+    dirs_w = np.einsum("nc,vbc->vnb", dirs_cam, R)            # [V, N, 3]
+    N = im_h * im_w
+    T = -(-N // TILE)
+    pad = T * TILE - N
+    if pad:
+        fill = np.tile(np.array([0.0, 0.0, 1.0]), (V, pad, 1))
+        dirs_w = np.concatenate([dirs_w, fill], axis=1)
+    dirs_w = dirs_w.reshape(V, T, R_SUB, LANE, 3)
+    dirs_w = np.moveaxis(dirs_w, -1, 2)                       # [V,T,3,R,C]
+    return (dirs_w.astype(np.float32),
+            cam_pose[:, :3, 3].astype(np.float32), N)
+
+
+def _march_kernel(sph_ref, box_ref, org_ref, dirs_ref, out_ref, *,
+                  S: int, G: int, n_steps: int, far: float, eps: float,
+                  ground: bool):
+    """One (8,128) ray tile of one (env, view)."""
+    dx = dirs_ref[0, 0, 0]
+    dy = dirs_ref[0, 0, 1]
+    dz = dirs_ref[0, 0, 2]
+    inv = jax.lax.rsqrt(dx * dx + dy * dy + dz * dz)
+    v = pl.program_id(1)
+    ox = org_ref[v, 0]
+    oy = org_ref[v, 1]
+    oz = org_ref[v, 2]
+
+    def scene_dist(tz):
+        px = ox + tz * dx
+        py = oy + tz * dy
+        pz = oz + tz * dz
+        dist = jnp.full_like(tz, 1e6)
+        for s in range(S):
+            cx = sph_ref[0, s, 0]
+            cy = sph_ref[0, s, 1]
+            cz = sph_ref[0, s, 2]
+            r = sph_ref[0, s, 3]
+            rx, ry, rz = px - cx, py - cy, pz - cz
+            ds = jnp.sqrt(rx * rx + ry * ry + rz * rz) - r
+            dist = jnp.minimum(dist, ds)
+        for g in range(G):
+            bx = box_ref[0, g, 0]
+            by = box_ref[0, g, 1]
+            bz = box_ref[0, g, 2]
+            qx = box_ref[0, g, 3]
+            qy = box_ref[0, g, 4]
+            qz = box_ref[0, g, 5]
+            qw = box_ref[0, g, 6]
+            hx = box_ref[0, g, 7]
+            hy = box_ref[0, g, 8]
+            hz = box_ref[0, g, 9]
+            mask = box_ref[0, g, 10]
+            rx, ry, rz = px - bx, py - by, pz - bz
+            # conjugate-quat rotation (scalar quat × tile vec)
+            tx = 2.0 * (-qy * rz + qz * ry)
+            ty = 2.0 * (-qz * rx + qx * rz)
+            tz2 = 2.0 * (-qx * ry + qy * rx)
+            lx = rx + qw * tx + (-qy * tz2 + qz * ty)
+            ly = ry + qw * ty + (-qz * tx + qx * tz2)
+            lz = rz + qw * tz2 + (-qx * ty + qy * tx)
+            ax = jnp.abs(lx) - hx
+            ay = jnp.abs(ly) - hy
+            az = jnp.abs(lz) - hz
+            px_o = jnp.maximum(ax, 0.0)
+            py_o = jnp.maximum(ay, 0.0)
+            pz_o = jnp.maximum(az, 0.0)
+            d_out = jnp.sqrt(px_o * px_o + py_o * py_o + pz_o * pz_o)
+            d_in = jnp.minimum(jnp.maximum(jnp.maximum(ax, ay), az), 0.0)
+            db = d_out + d_in + (1.0 - mask) * 1e6
+            dist = jnp.minimum(dist, db)
+        if ground:
+            dist = jnp.minimum(dist, pz)
+        return dist
+
+    tz0 = jnp.full((R_SUB, LANE), 0.05, jnp.float32)
+
+    def cond(carry):
+        i, tz, running = carry
+        return jnp.logical_and(i < n_steps, running)
+
+    def body(carry):
+        i, tz, _ = carry
+        dist = scene_dist(tz)
+        done = jnp.logical_or(dist < eps, tz > far)
+        tz = jnp.where(done, tz, tz + jnp.maximum(dist, 0.0) * inv)
+        return i + 1, tz, jnp.logical_not(jnp.all(done))
+
+    _, tz, _ = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), tz0, jnp.bool_(True)))
+    hit = jnp.logical_and(scene_dist(tz) < 10 * eps, tz <= far)
+    out_ref[0, 0, 0] = jnp.where(hit, tz, jnp.float32(far))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("im_h", "im_w", "n_steps", "far", "eps", "ground",
+                     "interpret"))
+def _render_tpu(sph, box, dirs, origins, *, im_h, im_w, n_steps, far, eps,
+                ground, interpret=False):
+    E, S = sph.shape[:2]
+    G = box.shape[1]
+    V, T = dirs.shape[:2]
+    kern = functools.partial(_march_kernel, S=S, G=G, n_steps=n_steps,
+                             far=far, eps=eps, ground=ground)
+    out = pl.pallas_call(
+        kern,
+        grid=(E, V, T),
+        in_specs=[
+            pl.BlockSpec((1, S, 4), lambda e, v, t: (e, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, G, 11), lambda e, v, t: (e, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((V, 3), lambda e, v, t: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, 3, R_SUB, LANE),
+                         lambda e, v, t: (v, t, 0, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, 1, 1, R_SUB, LANE),
+                               lambda e, v, t: (e, v, t, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((E, V, T, R_SUB, LANE), jnp.float32),
+        interpret=interpret,
+    )(sph, box, origins, dirs)
+    N = im_h * im_w
+    return out.reshape(E, V, T * TILE)[:, :, :N].reshape(E, V, im_h, im_w)
+
+
+_RAY_CACHE: dict = {}
+
+
+def render_depth_tpu(prims, cam_pose: np.ndarray, intrinsic: np.ndarray,
+                     im_h: int, im_w: int, n_steps: int = 40,
+                     far: float = 100.0, eps: float = 1e-3,
+                     interpret: bool = False) -> jnp.ndarray:
+    """Drop-in Pallas replacement for :func:`raymarch.render_depth`."""
+    key = (cam_pose.tobytes(), intrinsic.tobytes(), im_h, im_w)
+    hit = _RAY_CACHE.get(key)
+    if hit is None:
+        hit = _tile_rays(np.asarray(cam_pose), np.asarray(intrinsic),
+                         im_h, im_w)
+        _RAY_CACHE[key] = hit
+    dirs_np, origins_np, _ = hit
+
+    E, S = prims.sphere_center.shape[:2]
+    sph = jnp.concatenate(
+        [prims.sphere_center, prims.sphere_radius[..., None]],
+        axis=-1).astype(jnp.float32)                           # [E, S, 4]
+    box = jnp.concatenate(
+        [prims.box_pos, prims.box_quat, prims.box_half,
+         prims.box_mask[..., None]], axis=-1).astype(jnp.float32)
+
+    return _render_tpu(
+        sph, box, jnp.asarray(dirs_np), jnp.asarray(origins_np),
+        im_h=im_h, im_w=im_w, n_steps=n_steps, far=far, eps=eps,
+        ground=bool(prims.ground), interpret=interpret)
+
+
+def supported(prims, im_h: int, im_w: int) -> bool:
+    return (jax.default_backend() == "tpu"
+            and prims.sphere_center is not None
+            and prims.box_pos is not None)

@@ -164,6 +164,40 @@ class TestCameraRig:
                 np.linalg.norm(pose[:3, 3] - [0.1, 0.2, 0.7]), 1.5, rtol=1e-5)
 
 
+class TestRaymarchPallas:
+    def test_matches_xla_path_in_interpret_mode(self):
+        """The Pallas tiled raymarcher reproduces the XLA reference path
+        (same march, whole-tile early-out changes nothing per-ray)."""
+        from partmanip_tpu.ops import raymarch_tpu
+        E = 2
+        prims = raymarch.ScenePrims(
+            sphere_center=jnp.asarray(
+                np.array([[[0.0, 0, 0.08], [0.1, 0.05, 0.15]]] * E,
+                         np.float32)),
+            sphere_radius=jnp.full((E, 2), 0.05),
+            box_pos=jnp.asarray(
+                np.array([[[-0.1, 0, 0.1], [0.2, -0.1, 0.05]]] * E,
+                         np.float32)),
+            box_quat=jnp.tile(
+                jnp.asarray(np.array([0.0, 0, 0.3827, 0.9239], np.float32)),
+                (E, 2, 1)),
+            box_half=jnp.tile(jnp.array([0.06, 0.04, 0.08]), (E, 2, 1)),
+            box_mask=jnp.asarray(np.array([[1.0, 1.0]] * E, np.float32)),
+            ground=True,
+        )
+        poses = camera.gen_camera_poses([0, 0, 0.1], radius=0.8, num_views=3)
+        intr = camera.camera_intrinsics(64, 36)
+        ref = np.asarray(raymarch.render_depth(prims, poses, intr, 36, 64))
+        got = np.asarray(raymarch_tpu.render_depth_tpu(
+            prims, poses, intr, 36, 64, interpret=True))
+        assert got.shape == ref.shape == (E, 3, 36, 64)
+        close = np.abs(got - ref) < 1e-3
+        # silhouette rays may flip hit/miss between float orderings
+        assert close.mean() > 0.98, close.mean()
+        both_hit = (ref < 99.0) & (got < 99.0)
+        assert np.abs((got - ref)[both_hit]).max() < 1e-2
+
+
 class TestFPSPallas:
     def test_matches_reference_in_interpret_mode(self):
         from jax.experimental.pallas import tpu as pltpu
