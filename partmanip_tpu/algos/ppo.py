@@ -117,7 +117,9 @@ class PPO:
             assert self.num_envs % self.num_devices == 0, (
                 f"num_envs {self.num_envs} % num_devices "
                 f"{self.num_devices} != 0")
-            self.mesh = mesh_lib.make_mesh(self.num_devices)
+            self.mesh = mesh_lib.make_mesh(
+                self.num_devices,
+                axis_name=par.get("mesh_axis") or mesh_lib.ENV_AXIS)
 
         self._jit_train_iter = jax.jit(self._train_iteration)
         self._jit_eval_round = jax.jit(self._eval_round)
@@ -428,12 +430,17 @@ class PPO:
         pose_dir = pjoin(self.logger.save_pose_dir, f"Iter{self.curr_iter}")
         video_dir = pjoin(self.logger.save_video_dir, f"Iter{self.curr_iter}")
         save_dicts = []
-        rig = None
+        vid_cam = None
         if self.save_video:
-            from ..envs import vision as vision_lib
-            rig = vision_lib.VisionRig(self.env.cfg["cam"],
-                                       self.env.cfg["obs_mode"]["tsdf"],
-                                       "depth_tsdf", im_scale=1)
+            # dedicated 1024×512 video camera at the rig's view-0 pose on
+            # env 3 (≙ hand_base.py:232-244)
+            from ..utils import camera as camera_lib
+            cam_cfg = self.env.cfg["cam"]
+            vid_h, vid_w = self.cfg.get("video_res") or (512, 1024)
+            poses = camera_lib.gen_camera_poses(
+                cam_cfg["look_at"], cam_cfg["radius"], num_views=3)[:1]
+            vid_cam = (poses, camera_lib.camera_intrinsics(vid_w, vid_h),
+                       vid_h, vid_w)
         for i in range(self.max_episode_length):
             actions = self.ac.act(ts.params, o)
             if self.save_pose:
@@ -441,12 +448,13 @@ class PPO:
                 d["state"] = np.asarray(o)
                 d["action"] = np.asarray(actions)
                 save_dicts.append(d)
-            if self.save_video and rig is not None:
+            if self.save_video and vid_cam is not None:
                 from ..envs import vision as vision_lib
                 prims = vision_lib.scene_prims(self.env, env_state.sim)
                 from ..ops import raymarch
-                depth = raymarch.render_depth(
-                    prims, rig.poses[:1], rig.intrinsic, rig.im_h, rig.im_w)
+                poses, intr, vid_h, vid_w = vid_cam
+                depth = raymarch.render_depth(prims, poses, intr,
+                                              vid_h, vid_w)
                 env_id = min(3, self.num_envs - 1)  # ≙ hand_base.py:233
                 video_lib.save_depth_frame(
                     pjoin(video_dir, f"{i}.png"),

@@ -24,16 +24,16 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 ENV_AXIS = "env"
 
 
-def make_mesh(num_devices: int = None) -> Mesh:
+def make_mesh(num_devices: int = None, axis_name: str = ENV_AXIS) -> Mesh:
     devices = jax.devices()
     n = num_devices or len(devices)
     assert len(devices) >= n, f"need {n} devices, have {len(devices)}"
-    return Mesh(np.array(devices[:n]), (ENV_AXIS,))
+    return Mesh(np.array(devices[:n]), (axis_name,))
 
 
 def env_sharding(mesh: Mesh) -> NamedSharding:
     """Leading-axis (env) sharding."""
-    return NamedSharding(mesh, P(ENV_AXIS))
+    return NamedSharding(mesh, P(mesh.axis_names[0]))
 
 
 def replicated(mesh: Mesh) -> NamedSharding:

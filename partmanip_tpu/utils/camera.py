@@ -88,3 +88,19 @@ def camera_intrinsics(width: int, height: int,
     return np.array([[fx, 0, width // 2],
                      [0, fx, height // 2],
                      [0, 0, 1]], np.float32)
+
+
+def kabsch_rt(points_a: np.ndarray, points_b: np.ndarray):
+    """Rigid transform (R, t) with R·a + t ≈ b, least-squares over point
+    correspondences (Kabsch SVD; ≙ ``getRTFromAToB``,
+    ``utils/camera.py:51-69``).  Returns (R [3,3], t [3,1])."""
+    mu_a = points_a.mean(axis=0)
+    mu_b = points_b.mean(axis=0)
+    cov = (points_a - mu_a).T @ (points_b - mu_b)
+    U, _, Vt = np.linalg.svd(cov)
+    R = Vt.T @ U.T
+    if np.linalg.det(R) < 0:      # reflection → flip the smallest axis
+        Vt[2, :] *= -1
+        R = Vt.T @ U.T
+    t = (-R @ mu_a + mu_b).reshape(3, 1)
+    return R, t

@@ -71,3 +71,39 @@ class TestPPOSmoke:
         assert ppo2.total_envsteps == 123
         for a, b in zip(jax.tree.leaves(ts.params), jax.tree.leaves(ts2.params)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
+class TestEvalCapture:
+    def test_pose_and_video_capture(self, tmp_path):
+        """_eval_capture dumps per-step pose dicts and video frames from the
+        dedicated video camera (≙ hand_base.py:232-244; shrunk to 16x32
+        via video_res here — the default is 512x1024 at the rig's view-0
+        pose)."""
+        cfg, sp = config.process_cfgs([
+            "--algo.num_envs", "2", "--task.maxEpisodeLength", "3",
+            "--sim.inner_substeps", "1",
+            "--algo.model.network.hid_dim", "16",
+        ])
+        env = GraspCubeEnv(cfg["task"], sp)
+        acfg = dict(cfg["algo"])
+        acfg["save_pose"] = acfg["save_video"] = True
+        acfg["video_res"] = (16, 32)
+
+        class CaptureLogger(DummyLogger):
+            save_pose_dir = str(tmp_path / "pose")
+            save_video_dir = str(tmp_path / "video")
+
+        ppo = PPO(env, acfg, CaptureLogger())
+        ts, env_state = ppo.init_state(seed=0)
+        env_state = ppo._eval_capture(ts, env_state)
+        pose_dir = os.path.join(CaptureLogger.save_pose_dir, "Iter0")
+        assert len(os.listdir(pose_dir)) == 3
+        d = np.load(os.path.join(pose_dir, "0.npy"),
+                    allow_pickle=True).item()
+        assert "rot" in d and "pos" in d and "success" in d
+        vid_dir = os.path.join(CaptureLogger.save_video_dir, "Iter0")
+        files = os.listdir(vid_dir)
+        # path_to_video converts frames to video.mp4 and deletes the pngs
+        # (≙ img2video.py:27); without cv2 the raw frames remain
+        assert "video.mp4" in files or sum(
+            f.endswith(".png") for f in files) == 3, files

@@ -121,3 +121,19 @@ class TestProfilerAndViz:
         assert out == {"a": 1.5, "b": 2.0, "c": -3.25}
         assert all(type(v) is float for v in out.values())
         assert fetch_scalars({}) == {}
+
+
+class TestKabsch:
+    def test_recovers_rigid_transform(self):
+        from partmanip_tpu.utils import camera
+        rng = np.random.RandomState(0)
+        a = rng.randn(50, 3)
+        ang = 0.7
+        R_true = np.array([[np.cos(ang), -np.sin(ang), 0],
+                           [np.sin(ang), np.cos(ang), 0],
+                           [0, 0, 1.0]])
+        t_true = np.array([0.3, -0.1, 0.5])
+        b = a @ R_true.T + t_true
+        R, t = camera.kabsch_rt(a, b)
+        np.testing.assert_allclose(R, R_true, atol=1e-8)
+        np.testing.assert_allclose(t[:, 0], t_true, atol=1e-8)
