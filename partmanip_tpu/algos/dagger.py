@@ -121,7 +121,11 @@ class DAgger:
 
         self.curr_iter = 0
         self.total_envsteps = 0
-        self._jit_iter = jax.jit(self._dagger_iteration)
+        # donate the train state: the (stu,tea) ring buffer is
+        # buf_size*num_envs*obs_dim (the reference allocates the same
+        # 25600-slot buffer on-GPU, storage.py:20-22) — without donation the
+        # jitted iteration would hold two copies and blow 16 GB HBM
+        self._jit_iter = jax.jit(self._dagger_iteration, donate_argnums=(0,))
         self._jit_eval_round = jax.jit(self._eval_round)
         self._jit_reset = jax.jit(self.env.reset)
 
@@ -136,8 +140,13 @@ class DAgger:
         env_state = self.env.init_state(k_env)
         env_state, obs = self._jit_reset(env_state)
         cap = self.buf_size * self.num_envs
+        # vision obs (values in [-1,1]) ride the ring buffer in bf16 by
+        # default: halves the dominant allocation (12.8 GB at 50-cubed
+        # x 25600 slots) with negligible distillation-loss impact
+        bdt = jnp.bfloat16 if self.cfg.get("buf_dtype", "bf16") == "bf16" \
+            else jnp.float32
         buf = DaggerBuffer(
-            stu_obs=jnp.zeros((cap, self.stu_num_obs)),
+            stu_obs=jnp.zeros((cap, self.stu_num_obs), bdt),
             tea_obs=jnp.zeros((cap, self.tea_num_obs)),
             write_idx=jnp.zeros((), jnp.int32),
             size=jnp.zeros((), jnp.int32),
@@ -170,7 +179,8 @@ class DAgger:
                                          np.float32).reshape(-1)])
                 i = int(buf.write_idx)
                 buf = buf._replace(
-                    stu_obs=buf.stu_obs.at[i].set(jnp.asarray(stu)),
+                    stu_obs=buf.stu_obs.at[i].set(
+                        jnp.asarray(stu).astype(buf.stu_obs.dtype)),
                     tea_obs=buf.tea_obs.at[i].set(
                         jnp.asarray(np.asarray(d["tea_obs"],
                                                np.float32).reshape(-1))),
@@ -183,6 +193,13 @@ class DAgger:
     # ------------------------------------------------------------------
 
     def _collect(self, ts: DaggerTrainState, env_state):
+        """Roll n_steps and append the (stu, tea) pairs to the ring buffer.
+
+        The buffer stays OUT of the scan carry — the pairs come back as
+        stacked scan outputs and are written in one ``.at[].set`` after the
+        loop, so the (multi-GB at 50³ obs) buffer aliases in-place under
+        ``donate_argnums`` instead of being double-buffered by the loop.
+        """
         cap = ts.buffer.stu_obs.shape[0]
 
         def body(carry, _):
@@ -192,15 +209,7 @@ class DAgger:
             env_state, next_obs, rew, dones, extras = self.env.step(
                 env_state, actions, train=True,
                 force_reset=ts.pending_force if self.reward_reset else None)
-            buf = ts.buffer
-            idx = buf.write_idx + jnp.arange(self.num_envs)
-            idx = jnp.mod(idx, cap)
-            buf = buf._replace(
-                stu_obs=buf.stu_obs.at[idx].set(ts.stu_obs),
-                tea_obs=buf.tea_obs.at[idx].set(ts.tea_obs),
-                write_idx=jnp.mod(buf.write_idx + self.num_envs, cap),
-                size=jnp.minimum(buf.size + self.num_envs, cap),
-            )
+            pair = (ts.stu_obs.astype(ts.buffer.stu_obs.dtype), ts.tea_obs)
             # reward-driven early reset (dagger.py:234-239; documented intent)
             force = jnp.zeros(self.num_envs, bool)
             if self.reward_reset:
@@ -213,14 +222,24 @@ class DAgger:
             infos["reward"] = rew
             infos["dagger_reward_reset"] = force.astype(jnp.float32)
             ts = ts._replace(
-                buffer=buf, rng=rng, pending_force=force,
+                rng=rng, pending_force=force,
                 stu_obs=self._select(next_obs, self.stu_obs_mode),
                 tea_obs=self._select(next_obs, self.tea_obs_mode))
-            return (ts, env_state), infos
+            return (ts, env_state), (pair, infos)
 
-        (ts, env_state), infos = jax.lax.scan(
+        (ts, env_state), ((stu_stack, tea_stack), infos) = jax.lax.scan(
             body, (ts, env_state), None, length=self.n_steps)
-        return ts, env_state, infos
+        n_new = self.n_steps * self.num_envs
+        buf = ts.buffer
+        idx = jnp.mod(buf.write_idx + jnp.arange(n_new), cap)
+        buf = buf._replace(
+            stu_obs=buf.stu_obs.at[idx].set(
+                stu_stack.reshape(n_new, -1)),
+            tea_obs=buf.tea_obs.at[idx].set(tea_stack.reshape(n_new, -1)),
+            write_idx=jnp.mod(buf.write_idx + n_new, cap),
+            size=jnp.minimum(buf.size + n_new, cap),
+        )
+        return ts._replace(buffer=buf), env_state, infos
 
     def _loss(self, student_params, stu_obs, tea_act):
         stu_act = self.student.update_act(student_params, stu_obs)
@@ -230,12 +249,16 @@ class DAgger:
         ts, env_state, infos = self._collect(ts, env_state)
 
         cap = ts.buffer.stu_obs.shape[0]
-        mb = max(min(cap // self.num_mini_batches, 2048), 1)
+        # the reference caps minibatches at 2048 (storage.py:127); at 50-cubed
+        # student obs the Conv3D fwd+bwd activations of a 1600-sample batch
+        # alone exceed v5e HBM, so the cap is configurable (dagger.yaml: 256)
+        mb_cap = int(self.cfg.get("minibatch_cap", 2048))
+        mb = max(min(cap // self.num_mini_batches, mb_cap), 1)
         n_batches = self.num_mini_batches
 
         def upd(carry, idx):
             student, opt = carry
-            stu_o = ts.buffer.stu_obs[idx]
+            stu_o = ts.buffer.stu_obs[idx].astype(jnp.float32)
             tea_o = ts.buffer.tea_obs[idx]
             tea_act = self.teacher.act(self.teacher_params, tea_o)
             loss, grads = jax.value_and_grad(self._loss)(student, stu_o,

@@ -9,9 +9,9 @@ and the derived observation modes:
 * ``depth_pc``    — unproject + workspace crop + FPS-1024 → 3072;
 * ``depth_sparse``— near-surface voxel FPS → [1024, 4] → 4096;
 * ``depth_img``   — raw single-view depth 72×128 → 9216;
-* ``rgb_img``     — normal-shaded render ×3 channels (the reference uses
-  Isaac's RGB camera; without a material/texture pipeline we ship a
-  lambertian normal shading of the same geometry) → 27648;
+* ``rgb_img``     — Lambertian-shaded per-segment-albedo RGB render
+  (≙ Isaac's RGB camera on the untextured URDF scene;
+  ``raymarch.render_rgb`` — analytic normals + albedo palette) → 27648;
 * ``mesh_tsdf``   — ground-truth scene TSDF sampled analytically from the
   simulation's own collision primitives (≙ ``TSDFfromMesh.query_tsdf``,
   ``utils/mesh2sdf.py:119-139`` — exact here, since the procedural scenes
@@ -94,9 +94,19 @@ def render_obs(env, rig: VisionRig, sim: engine.SceneState) -> Dict:
     out = {}
 
     if mode == "mesh_tsdf":
-        d = raymarch.scene_sdf(prims, jnp.broadcast_to(
-            rig.grid_points[None], (E,) + rig.grid_points.shape))
-        out[mode] = jnp.clip(d / rig.sdf_trunc, -1.0, 1.0).reshape(E, -1)
+        # chunk the res³ grid query: the all-pairs [E, N, G, 3] candidate
+        # temporaries at N = 50³ otherwise blow past HBM (22 GB at 16 envs)
+        N = rig.grid_points.shape[0]
+        n_chunks = max(1, N // 16384)
+        while N % n_chunks:
+            n_chunks -= 1
+        pts = rig.grid_points.reshape(n_chunks, N // n_chunks, 3)
+        d = jax.lax.map(
+            lambda c: raymarch.scene_sdf(
+                prims, jnp.broadcast_to(c[None], (E,) + c.shape)),
+            pts)                                    # [C, E, N/C]
+        d = jnp.moveaxis(d, 0, 1).reshape(E, N)
+        out[mode] = jnp.clip(d / rig.sdf_trunc, -1.0, 1.0)
         return out
 
     depth = raymarch.render_depth(prims, rig.poses, rig.intrinsic,
@@ -112,12 +122,12 @@ def render_obs(env, rig: VisionRig, sim: engine.SceneState) -> Dict:
     elif mode == "depth_img":
         out[mode] = depth[:, 0].reshape(E, -1)
     elif mode == "rgb_img":
-        # normal-shaded grayscale ×3 (see module docstring)
-        d = depth[:, 0]
-        gy, gx = jnp.gradient(d, axis=(1, 2))
-        shade = 1.0 / jnp.sqrt(1.0 + 25.0 * (gx ** 2 + gy ** 2))
-        shade = jnp.where(d >= 99.0, 0.0, shade)
-        out[mode] = jnp.tile(shade[:, None], (1, 3, 1, 1)).reshape(E, -1)
+        # Lambertian-shaded per-segment albedo RGB (≙ Isaac RGB camera,
+        # hand_base.py:342-353; untextured URDF colors there)
+        rgb = raymarch.render_rgb(prims, rig.poses[:1], rig.intrinsic,
+                                  rig.im_h, rig.im_w, depth=depth[:, :1])
+        # [E, 1, H, W, 3] → channel-first [E, 3, H, W] flat
+        out[mode] = jnp.moveaxis(rgb[:, 0], -1, 1).reshape(E, -1)
     else:
         raise NotImplementedError(mode)
     return out

@@ -156,6 +156,98 @@ def scene_sdf_seg(prims: ScenePrims, p: jnp.ndarray):
     return d, seg.astype(jnp.int32)
 
 
+def scene_normal(prims: ScenePrims, p: jnp.ndarray, seg: jnp.ndarray):
+    """Analytic surface normals at points p [E, N, 3] given their winning
+    segment ids (0 ground, 1 robot, 2+g box g) → [E, N, 3]."""
+    # robot: nearest sphere's radial direction
+    rel_s = p[:, :, None, :] - prims.sphere_center[:, None, :, :]
+    ds = jnp.linalg.norm(rel_s, axis=-1) - prims.sphere_radius[:, None, :]
+    si = jnp.argmin(ds, axis=-1)
+    rel_best = jnp.take_along_axis(rel_s, si[..., None, None].repeat(3, -1),
+                                   axis=2)[:, :, 0]
+    n_rob = rel_best / jnp.maximum(
+        jnp.linalg.norm(rel_best, axis=-1, keepdims=True), 1e-9)
+
+    # boxes: local-face normal of the indicated box
+    gi = jnp.clip(seg - 2, 0, prims.box_pos.shape[1] - 1)
+    bp = jnp.take_along_axis(prims.box_pos, gi[..., None].repeat(3, -1), 1)
+    bq = jnp.take_along_axis(prims.box_quat, gi[..., None].repeat(4, -1), 1)
+    bh = jnp.take_along_axis(prims.box_half, gi[..., None].repeat(3, -1), 1)
+    local = rot.quat_rotate_inverse(bq, p - bp)
+    q = jnp.abs(local) - bh
+    q_out = jnp.maximum(q, 0.0)
+    d_out = jnp.linalg.norm(q_out, axis=-1, keepdims=True)
+    sgn = jnp.where(local >= 0, 1.0, -1.0)
+    n_out = sgn * q_out / jnp.maximum(d_out, 1e-9)
+    face = (q == jnp.max(q, axis=-1, keepdims=True)).astype(p.dtype)
+    n_in = sgn * face
+    n_loc = jnp.where(d_out > 0, n_out, n_in)
+    n_loc = n_loc / jnp.maximum(
+        jnp.linalg.norm(n_loc, axis=-1, keepdims=True), 1e-9)
+    n_box = rot.quat_rotate(bq, n_loc)
+
+    up = jnp.zeros_like(p).at[..., 2].set(1.0)
+    n = jnp.where((seg == 1)[..., None], n_rob,
+                  jnp.where((seg >= 2)[..., None], n_box, up))
+    return n
+
+
+# default albedo table: ground, robot, then a repeating box palette
+_PALETTE = np.array([
+    [0.55, 0.55, 0.58],   # 0 ground
+    [0.92, 0.92, 0.95],   # 1 robot
+    [0.65, 0.45, 0.28], [0.30, 0.45, 0.70], [0.45, 0.62, 0.35],
+    [0.70, 0.55, 0.30], [0.55, 0.35, 0.55], [0.35, 0.55, 0.55],
+], np.float32)
+
+
+def render_rgb(prims: ScenePrims, cam_pose, intrinsic, im_h, im_w,
+               n_steps: int = 40, far: float = 100.0, eps: float = 1e-3,
+               light_dir=(0.35, 0.25, 0.9), depth=None) -> jnp.ndarray:
+    """Lambertian-shaded RGB images [E, V, H, W, 3] (≙ Isaac's RGB camera,
+    ``hand_base.py:342-353`` — untextured URDF colors there; per-segment
+    albedo + analytic normals here).
+
+    Depth comes from :func:`render_depth` (the Pallas kernel on TPU); the
+    shading pass is a single vectorized evaluation at the hit points.
+    """
+    E = prims.sphere_center.shape[0]
+    V = cam_pose.shape[0]
+    if depth is None:
+        depth = render_depth(prims, cam_pose, intrinsic, im_h, im_w,
+                             n_steps=n_steps, far=far, eps=eps)
+    fx, fy = intrinsic[0, 0], intrinsic[1, 1]
+    cx, cy = intrinsic[0, 2], intrinsic[1, 2]
+    u = (np.arange(im_w) - cx) / fx
+    v = (np.arange(im_h) - cy) / fy
+    uu, vv = np.meshgrid(u, v)
+    dirs_cam = np.stack([uu, vv, np.ones_like(uu)], -1).reshape(-1, 3)
+    R = cam_pose[:, :3, :3]
+    t = cam_pose[:, :3, 3]
+    dirs_w = jnp.asarray(
+        np.einsum("nc,vbc->vnb", dirs_cam, R).astype(np.float32))
+    origins = jnp.asarray(t.astype(np.float32))
+    N = im_h * im_w
+
+    l = np.asarray(light_dir, np.float32)
+    l = jnp.asarray(l / np.linalg.norm(l))
+    pal = jnp.asarray(_PALETTE)
+
+    views = []
+    for view in range(V):
+        tz = depth[:, view].reshape(E, N)
+        p = origins[view] + tz[..., None] * dirs_w[view][None]
+        _, seg = scene_sdf_seg(prims, p)
+        n = scene_normal(prims, p, seg)
+        shade = 0.25 + 0.75 * jnp.maximum(jnp.sum(n * l, -1), 0.0)
+        cidx = jnp.where(seg >= 2, 2 + (seg - 2) % (pal.shape[0] - 2), seg)
+        albedo = pal[cidx]
+        rgb = albedo * shade[..., None]
+        rgb = jnp.where((tz < far * 0.99)[..., None], rgb, 0.0)
+        views.append(rgb.reshape(E, im_h, im_w, 3))
+    return jnp.stack(views, axis=1)
+
+
 def render_depth_seg(prims: ScenePrims, cam_pose, intrinsic, im_h, im_w,
                      n_steps: int = 40, far: float = 100.0, eps: float = 1e-3):
     """Depth + segmentation images (≙ Isaac IMAGE_DEPTH + IMAGE_SEGMENTATION,

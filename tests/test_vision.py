@@ -206,3 +206,35 @@ class TestFPSPallas:
         with pltpu.force_tpu_interpret_mode():
             idx = fps.farthest_point_sampling_pallas(pts, 16)
         np.testing.assert_array_equal(np.asarray(idx), np.asarray(ref_idx))
+
+
+class TestRGBRender:
+    def test_shaded_albedo_colors(self):
+        """render_rgb: ground pixels take the gray albedo, box pixels the
+        box palette hue, shading bounded, misses black."""
+        E = 1
+        prims = raymarch.ScenePrims(
+            sphere_center=jnp.tile(jnp.array([5.0, 5, 5]), (E, 1, 1)),
+            sphere_radius=jnp.full((E, 1), 0.01),     # far away
+            box_pos=jnp.tile(jnp.array([0.0, 0, 0.1]), (E, 1, 1)),
+            box_quat=jnp.tile(jnp.array([0.0, 0, 0, 1]), (E, 1, 1)),
+            box_half=jnp.tile(jnp.array([0.08, 0.08, 0.08]), (E, 1, 1)),
+            box_mask=jnp.ones((E, 1)),
+            ground=True,
+        )
+        poses = camera.gen_camera_poses([0, 0, 0.1], radius=0.7, num_views=1)
+        intr = camera.camera_intrinsics(48, 32)
+        rgb = np.asarray(raymarch.render_rgb(prims, poses, intr, 32, 48))
+        assert rgb.shape == (E, 1, 32, 48, 3)
+        assert rgb.min() >= 0.0 and rgb.max() <= 1.0
+        depth = np.asarray(raymarch.render_depth(prims, poses, intr, 32, 48))
+        _, seg = raymarch.scene_sdf_seg(
+            prims, jnp.zeros((E, 1, 3)))  # shape probe only
+        # box pixels: hue ratio r/g of the first palette box color (brownish)
+        flat = rgb[0, 0].reshape(-1, 3)
+        lit = flat[flat.sum(-1) > 0.05]
+        assert lit.shape[0] > 100
+        # both ground-gray (r≈g≈b) and box-brown (r>g>b) pixels present
+        ratio = lit[:, 0] / np.maximum(lit[:, 1], 1e-6)
+        assert (np.abs(ratio - 1.0) < 0.05).any()      # gray ground
+        assert (ratio > 1.3).any()                     # brown box
