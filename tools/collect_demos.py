@@ -71,6 +71,7 @@ def main():
     for ep in range(args.episodes):
         state, obs = reset(state)
         records = [[] for _ in range(env.num_envs)]
+        ever_success = np.zeros(env.num_envs, bool)
         for t in range(env.max_episode_length):
             a = act(obs[tea_mode])
             vis = np.asarray(obs[args.obs_mode])
@@ -78,6 +79,7 @@ def main():
                 "proprio_state", jnp.zeros((env.num_envs, 0))))
             tea_obs = np.asarray(obs[tea_mode])
             state, obs, rew, reset_buf, extras = step(state, a)
+            ever_success |= np.asarray(state.success)
             a_np = np.asarray(a)
             for e in range(env.num_envs):
                 n_prop = prop.shape[1]
@@ -88,7 +90,7 @@ def main():
                     "action": a_np[e],
                     "tea_obs": tea_obs[e],
                 })
-        success = np.asarray(state.success)
+        success = ever_success | np.asarray(state.success)
         for e in range(env.num_envs):
             if args.only_success and not success[e]:
                 continue
