@@ -238,3 +238,26 @@ class TestRGBRender:
         ratio = lit[:, 0] / np.maximum(lit[:, 1], 1e-6)
         assert (np.abs(ratio - 1.0) < 0.05).any()      # gray ground
         assert (ratio > 1.3).any()                     # brown box
+
+
+class TestRaymarchCoarseToFine:
+    def test_c2f_close_to_full_march(self):
+        from partmanip_tpu.ops import raymarch_tpu
+        E = 1
+        prims = raymarch.ScenePrims(
+            sphere_center=jnp.tile(jnp.array([0.0, 0, 0.12]), (E, 1, 1)),
+            sphere_radius=jnp.full((E, 1), 0.06),
+            box_pos=jnp.tile(jnp.array([0.1, -0.05, 0.08]), (E, 1, 1)),
+            box_quat=jnp.tile(jnp.array([0.0, 0, 0, 1]), (E, 1, 1)),
+            box_half=jnp.tile(jnp.array([0.06, 0.05, 0.08]), (E, 1, 1)),
+            box_mask=jnp.ones((E, 1)),
+            ground=True,
+        )
+        poses = camera.gen_camera_poses([0, 0, 0.1], radius=0.8, num_views=1)
+        intr = camera.camera_intrinsics(64, 32)
+        full = np.asarray(raymarch_tpu.render_depth_tpu(
+            prims, poses, intr, 32, 64, interpret=True))
+        c2f = np.asarray(raymarch_tpu.render_depth_tpu(
+            prims, poses, intr, 32, 64, interpret=True, coarse_to_fine=True))
+        close = np.abs(full - c2f) < 5e-3
+        assert close.mean() > 0.95, close.mean()
