@@ -368,8 +368,10 @@ class DAgger:
 
     def run(self, seed: int = 0, resume: Optional[str] = None):
         ts, env_state = self.init_state(seed)
-        ts = self.resume(ts, resume or self.cfg.get("resume"))
-        ts = self.load_pretrain(ts, self.cfg.get("pretrain"))
+        resume_path = resume or self.cfg.get("resume")
+        ts = self.resume(ts, resume_path)
+        if not resume_path:   # pretrain would clobber a resumed student
+            ts = self.load_pretrain(ts, self.cfg.get("pretrain"))
         if self.offline_data_pth:
             ts = self.load_offline(ts, self.offline_data_pth)
 
