@@ -92,8 +92,6 @@ class DAgger:
         assert teacher_path and os.path.exists(teacher_path), (
             f"teacher ckpt required, got {teacher_path}")
         tea = ckpt_lib.load(teacher_path)
-        assert tea["tricks"]["use_state_norm"] is False, (
-            "teacher must be trained without state-norm (dagger.py:73)")
         self.tea_obs_mode = tea["obs_mode"]
         self.tea_num_obs = env.num_obs[self.tea_obs_mode]
         self.teacher = ActorCritic(self.tea_num_obs, self.num_actions,
@@ -101,6 +99,14 @@ class DAgger:
         tea_params0 = self.teacher.init(jax.random.PRNGKey(0))
         self.teacher_params = ckpt_lib.restore_like(tea_params0, tea["params"])
         self.teacher_path = teacher_path
+        # the reference hard-rejects state-norm teachers (dagger.py:73)
+        # because its DAgger has no RMS plumbing; here the teacher's frozen
+        # obs-RMS is baked into labeling instead, so either kind works
+        self.tea_rms = None
+        if tea.get("tricks", {}).get("use_state_norm") and "rms" in tea:
+            from . import rms as rms_lib
+            self.tea_rms = jax.tree.map(jnp.asarray, tea["rms"])
+            self._rms_lib = rms_lib
 
         # teacher reward curve (≙ the teacher_reward.npy produced by
         # ppo.eval's commented dump, dagger.py:33-34)
@@ -260,6 +266,9 @@ class DAgger:
             student, opt = carry
             stu_o = ts.buffer.stu_obs[idx].astype(jnp.float32)
             tea_o = ts.buffer.tea_obs[idx]
+            if self.tea_rms is not None:
+                tea_o, _ = self._rms_lib.normalize(self.tea_rms, tea_o,
+                                                   False)
             tea_act = self.teacher.act(self.teacher_params, tea_o)
             loss, grads = jax.value_and_grad(self._loss)(student, stu_o,
                                                          tea_act)

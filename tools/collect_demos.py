@@ -63,7 +63,16 @@ def main():
 
     step = jax.jit(lambda s, a: env.step(s, a, train=False))
     reset = jax.jit(env.reset)
-    act = jax.jit(lambda o: teacher.act(tparams, o))
+    tea_rms = None
+    if tea.get("tricks", {}).get("use_state_norm") and "rms" in tea:
+        from partmanip_tpu.algos import rms as rms_lib
+        tea_rms = jax.tree.map(jnp.asarray, tea["rms"])
+
+    def _act(o):
+        if tea_rms is not None:
+            o, _ = rms_lib.normalize(tea_rms, o, False)
+        return teacher.act(tparams, o)
+    act = jax.jit(_act)
 
     state = env.init_state(jax.random.PRNGKey(0))
     scene_id = 0
