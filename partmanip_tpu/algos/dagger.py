@@ -103,7 +103,12 @@ class DAgger:
         # because its DAgger has no RMS plumbing; here the teacher's frozen
         # obs-RMS is baked into labeling instead, so either kind works
         self.tea_rms = None
-        if tea.get("tricks", {}).get("use_state_norm") and "rms" in tea:
+        if tea.get("tricks", {}).get("use_state_norm"):
+            # a state-norm teacher without its RMS state would silently be
+            # queried on raw observations (garbage labels) — fail loudly
+            assert "rms" in tea, (
+                f"teacher ckpt {teacher_path} was trained with "
+                "use_state_norm but carries no 'rms' state")
             from . import rms as rms_lib
             self.tea_rms = jax.tree.map(jnp.asarray, tea["rms"])
             self._rms_lib = rms_lib
@@ -148,8 +153,15 @@ class DAgger:
         cap = self.buf_size * self.num_envs
         # vision obs (values in [-1,1]) ride the ring buffer in bf16 by
         # default: halves the dominant allocation (12.8 GB at 50-cubed
-        # x 25600 slots) with negligible distillation-loss impact
-        bdt = jnp.bfloat16 if self.cfg.get("buf_dtype", "bf16") == "bf16" \
+        # x 25600 slots) with negligible distillation-loss impact.  State
+        # vectors carry large-magnitude features (qvel etc.) where bf16's
+        # ~0.4 % relative quantization matters, so non-vision student obs
+        # default to f32; buf_dtype in the algo cfg still overrides both.
+        vision_obs = self.stu_obs_mode not in ("normal_state",
+                                               "proprio_state")
+        bdt_default = "bf16" if vision_obs else "f32"
+        bdt = jnp.bfloat16 \
+            if self.cfg.get("buf_dtype", bdt_default) == "bf16" \
             else jnp.float32
         buf = DaggerBuffer(
             stu_obs=jnp.zeros((cap, self.stu_num_obs), bdt),

@@ -450,15 +450,19 @@ class PPO:
                 save_dicts.append(d)
             if self.save_video and vid_cam is not None:
                 from ..envs import vision as vision_lib
-                prims = vision_lib.scene_prims(self.env, env_state.sim)
+                env_id = min(3, self.num_envs - 1)  # ≙ hand_base.py:233
+                # render only the captured env — the 512×1024 video frame
+                # for all num_envs would be a num_envs× overdraw
+                prims = jax.tree.map(
+                    lambda x: x[env_id:env_id + 1],
+                    vision_lib.scene_prims(self.env, env_state.sim))
                 from ..ops import raymarch
                 poses, intr, vid_h, vid_w = vid_cam
                 depth = raymarch.render_depth(prims, poses, intr,
                                               vid_h, vid_w)
-                env_id = min(3, self.num_envs - 1)  # ≙ hand_base.py:233
                 video_lib.save_depth_frame(
                     pjoin(video_dir, f"{i}.png"),
-                    np.asarray(depth[env_id, 0]))
+                    np.asarray(depth[0, 0]))
             env_state, next_obs, rew, dones, extras = step(env_state, actions)
             o = self._select_obs(next_obs)
             if self.tricks["use_state_norm"]:

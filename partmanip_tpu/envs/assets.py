@@ -21,6 +21,7 @@ from __future__ import annotations
 import dataclasses
 import json
 import os
+import re
 import xml.etree.ElementTree as ET
 from os.path import join as pjoin
 from typing import List, Optional, Tuple
@@ -250,6 +251,10 @@ def generate_drawer_asset(out_dir: str, split: str, idx: int,
     os.makedirs(asset_dir, exist_ok=True)
     with open(pjoin(out_dir, ".genver"), "w") as f:
         f.write(str(DRAWER_GEN_VERSION))
+    # marker: lets ensure_drawer_assets distinguish generator output from
+    # user-provided (real GAPartNet) asset dirs on version-bump wipes
+    with open(pjoin(asset_dir, ".generated"), "w") as f:
+        f.write("1")
     for _, fn, size, _ in mesh_geoms:
         _write_box_obj(pjoin(asset_dir, fn), size)
     _write_urdf(pjoin(asset_dir, "mobility_new.urdf"), links, boxes,
@@ -345,8 +350,23 @@ def ensure_drawer_assets(asset_root: str, split: str, n: int) -> List[str]:
         import shutil
         for d in os.listdir(split_dir):
             p = pjoin(split_dir, d)
+            # Only wipe directories this generator created (stamped with a
+            # .generated marker) — a user-pointed asset root laid out like
+            # the reference's objs/drawer/<split>/<id> must never be
+            # deleted just because it predates the version stamp.
             if os.path.isdir(p):
-                shutil.rmtree(p)
+                generated = (os.path.exists(pjoin(p, ".generated"))
+                             # pre-marker caches: the generator's dirname
+                             # pattern <split><idx:04d>-link-handle-joint-0
+                             or re.match(r"^(train|valIntra|valInter)\d{4}-",
+                                         d))
+                if generated:
+                    shutil.rmtree(p)
+                else:
+                    import warnings
+                    warnings.warn(
+                        f"asset dir {p} has no .generated marker; leaving "
+                        "it in place (not produced by this generator)")
         with open(ver_file, "w") as f:
             f.write(str(DRAWER_GEN_VERSION))
     existing = sorted(d for d in os.listdir(split_dir)

@@ -39,8 +39,9 @@ def _tile_rays(cam_pose: np.ndarray, intrinsic: np.ndarray,
     """Precompute world ray dirs per view, padded to ray tiles.
 
     Returns (dirs [V, T, 3, R, C] f32, origins [V, 3] f32, n_rays).
-    Padding rays point straight down from far above → they terminate on the
-    first step (depth far) and are sliced off after the kernel.
+    Padding rays get a dummy (0,0,1) direction; their *start* t is set past
+    ``far`` by :func:`_tail_t0` so they are done on entry and never defeat
+    the whole-tile early-out of the final partial tile.
     """
     V = cam_pose.shape[0]
     fx, fy = intrinsic[0, 0], intrinsic[1, 1]
@@ -190,6 +191,18 @@ def _pack_t0(t0_img, im_h, im_w):
     return flat.reshape(E, V, T, R_SUB, LANE)
 
 
+def _tail_t0(t0, n_rays: int, far: float):
+    """Start padding rays (flat index ≥ n_rays) beyond ``far`` so they are
+    done on entry — otherwise they sphere-trace to ``far`` and defeat the
+    whole-tile early-out of the final partial tile on every call."""
+    T = t0.shape[2]
+    if T * TILE == n_rays:
+        return t0
+    idx = np.arange(T * TILE).reshape(T, R_SUB, LANE)
+    return jnp.where(jnp.asarray(idx >= n_rays)[None, None],
+                     jnp.float32(far * 1.05), t0)
+
+
 _RAY_CACHE: dict = {}
 
 
@@ -225,10 +238,11 @@ def render_depth_tpu(prims, cam_pose: np.ndarray, intrinsic: np.ndarray,
         hc, wc = im_h // 4, im_w // 4
         intr_c = np.asarray(intrinsic, np.float64).copy()
         intr_c[:2] /= 4.0
-        dirs_c, origins_np, _ = rays(hc, wc, intr_c.astype(np.float32))
+        dirs_c, origins_np, n_rays_c = rays(hc, wc, intr_c.astype(np.float32))
         V = dirs_c.shape[0]
-        t0c = jnp.full((E, V, -(-hc * wc // TILE), R_SUB, LANE), 0.05,
-                       jnp.float32)
+        t0c = _tail_t0(
+            jnp.full((E, V, -(-hc * wc // TILE), R_SUB, LANE), 0.05,
+                     jnp.float32), n_rays_c, far)
         d_c = _render_tpu(
             sph, box, jnp.asarray(dirs_c), jnp.asarray(origins_np), t0c,
             im_h=hc, im_w=wc, n_steps=n_steps, far=far, eps=eps,
@@ -240,16 +254,17 @@ def render_depth_tpu(prims, cam_pose: np.ndarray, intrinsic: np.ndarray,
                                   (1, 1, 3, 3), (1, 1, 1, 1), "SAME")
         t0_img = jnp.clip(dmin * 0.9 - 0.05, 0.05, far)
         t0_full = jnp.repeat(jnp.repeat(t0_img, 4, axis=2), 4, axis=3)
-        dirs_np, origins_np, _ = rays(im_h, im_w, np.asarray(intrinsic))
-        t0 = _pack_t0(t0_full, im_h, im_w)
+        dirs_np, origins_np, n_rays = rays(im_h, im_w, np.asarray(intrinsic))
+        t0 = _tail_t0(_pack_t0(t0_full, im_h, im_w), n_rays, far)
         return _render_tpu(
             sph, box, jnp.asarray(dirs_np), jnp.asarray(origins_np), t0,
             im_h=im_h, im_w=im_w, n_steps=16, far=far, eps=eps,
             ground=bool(prims.ground), interpret=interpret)
 
-    dirs_np, origins_np, _ = rays(im_h, im_w, np.asarray(intrinsic))
+    dirs_np, origins_np, n_rays = rays(im_h, im_w, np.asarray(intrinsic))
     V, T = dirs_np.shape[:2]
-    t0 = jnp.full((E, V, T, R_SUB, LANE), 0.05, jnp.float32)
+    t0 = _tail_t0(jnp.full((E, V, T, R_SUB, LANE), 0.05, jnp.float32),
+                  n_rays, far)
     return _render_tpu(
         sph, box, jnp.asarray(dirs_np), jnp.asarray(origins_np), t0,
         im_h=im_h, im_w=im_w, n_steps=n_steps, far=far, eps=eps,

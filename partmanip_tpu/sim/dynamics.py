@@ -35,6 +35,11 @@ from .types import TreeSpec, TreeState
 # clipped-friction law).
 _FRICTION_VEPS = 1e-3
 
+# Brake-early factor of the saturated-drive switching curve (see step_tree):
+# < 1 starts decelerating before the diagonal-mass time-optimal point, which
+# absorbs the error of neglecting the off-diagonal inertia coupling.
+_BRAKE_BETA = 0.8
+
 
 def mass_matrix(spec: TreeSpec, fk, E: int) -> jnp.ndarray:
     """Joint-space inertia matrix [E, D, D] (+armature, padded-dof identity)."""
@@ -228,15 +233,38 @@ def step_tree(
     sat = (jnp.abs(tau_imp) > effort).astype(q.dtype)
     unsat = 1.0 - sat
 
-    # Pass 2: saturated dofs get the constant clamped torque (zero slope ⇒
-    # no implicit drive terms); unsaturated dofs stay fully implicit.  This
-    # is the exact linearization of the clipped PD law (≙ PhysX drive
-    # force limits).
-    tau_drive = sat * jnp.sign(tau_imp) * effort + unsat * tau_d0
+    # Pass 2: saturated dofs.  A constant sign(tau_imp)·effort is an
+    # *undamped* bang-bang: at these gains (kp 1e6, effort 87) any visible
+    # position error keeps |kp·err| ≫ effort, so the clipped-PD sign equals
+    # sign(err) until the target is crossed and the kd term never manifests
+    # — under per-step moving targets the joints limit-cycle at their
+    # velocity limits (measured: wrist qvel pinned at 2.175/2.61 rad/s while
+    # tracking a 0.3 rad/s command, turning the gripper into a ~1 m/s hammer
+    # that launches the 0.125 kg cube).  PhysX's TGS re-solves the clamped
+    # drive 16× per substep, switching to braking *within* the step; we
+    # emulate that re-linearization analytically with the time-optimal
+    # switching curve of an effort-limited servo:
+    #     v*(err) = sign(err)·min(vel_limit, √(2·β·(effort/M_d)·|err|))
+    #     τ_sat   = clip(M_d·(v* − q̇)/h, ±effort)
+    # (M_d = pass-1 diagonal inertia; the deadbeat gain M_d/h sits exactly
+    # at the explicit-damping stability bound).  Unsaturated dofs stay fully
+    # implicit — the clipped-PD semantics are unchanged where the clamp is
+    # inactive.
+    A1_diag = M.reshape(E, D * D)[:, :: D + 1] + (
+        h * (kd + damping + d_fric) + h * h * kp) * dm
+    if implicit is not None:
+        A1_diag = A1_diag + jnp.einsum(
+            "epad,epab,epbd->ed", implicit.Jp, implicit.N, implicit.Jp)
+    vel_lim = jnp.broadcast_to(spec.dof_vel_limit, (E, D))
+    a_max = effort / jnp.maximum(A1_diag, 1e-9)
+    err = pos_targets - q
+    v_opt = jnp.sign(err) * jnp.minimum(
+        vel_lim, jnp.sqrt(2.0 * _BRAKE_BETA * a_max * jnp.abs(err)))
+    tau_sat = jnp.clip(A1_diag * (v_opt - qv) / h, -effort, effort)
+    tau_drive = sat * tau_sat + unsat * tau_d0
     rhs = (tau_drive + tau_fric + tau_ext - bias) * dm
     qacc = spd_solve(assemble(unsat), rhs) * dm
 
-    vel_lim = jnp.broadcast_to(spec.dof_vel_limit, (E, D))
     qv_new = jnp.clip(qv + h * qacc, -vel_lim, vel_lim)
     q_new = q + h * qv_new
     lower = jnp.broadcast_to(spec.dof_lower, (E, D))

@@ -545,11 +545,22 @@ def tree_step(ta: TreeArgs, M, JtNJ, qpos, qvel, targets, tau_ext, h):
     sat = (jnp.abs(tau_imp) > effort).astype(qpos.dtype)
     unsat = 1.0 - sat
 
-    tau_drive = sat * jnp.sign(tau_imp) * effort + unsat * tau_d0
+    # Saturated dofs: time-optimal braking servo instead of constant
+    # ±effort bang-bang (see dynamics.step_tree for the derivation — this
+    # emulates PhysX TGS's intra-substep drive re-linearization and kills
+    # the velocity-limit limit cycle under moving targets).
+    vel_lim = ta.dvec_stack("vel_limit", qpos)
+    A1_diag = (jnp.stack([A_base[d, d] for d in range(D)])
+               + (h * (kd + damping + d_fric) + h * h * kp) * dm)
+    a_max = effort / jnp.maximum(A1_diag, 1e-9)
+    err = targets - qpos
+    v_opt = jnp.sign(err) * jnp.minimum(
+        vel_lim, jnp.sqrt(2.0 * 0.8 * a_max * jnp.abs(err)))
+    tau_sat = jnp.clip(A1_diag * (v_opt - qvel) / h, -effort, effort)
+    tau_drive = sat * tau_sat + unsat * tau_d0
     rhs = (tau_drive + tau_fric + tau_ext) * dm
     qacc = _spd_solve_tiled(assemble(unsat), rhs) * dm
 
-    vel_lim = ta.dvec_stack("vel_limit", qpos)
     lower = ta.dvec_stack("lower", qpos)
     upper = ta.dvec_stack("upper", qpos)
     qv_new = jnp.clip(qvel + h * qacc, -vel_lim, vel_lim)
