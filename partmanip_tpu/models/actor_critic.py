@@ -37,6 +37,7 @@ class ActorCritic:
     def __init__(self, num_obs: int, num_actions: int, model_cfg: dict,
                  proprio_shape: int = 0):
         net_cfg = model_cfg["network"]
+        self.net_cfg = net_cfg
         self.actor = make_network(net_cfg["name"], num_actions, net_cfg,
                                   proprio_shape)
         self.critic = make_network(net_cfg["name"], 1, net_cfg, proprio_shape)
@@ -52,6 +53,14 @@ class ActorCritic:
         dummy = jnp.zeros((1, self.num_obs))
         actor = self.actor.init(ka, dummy)
         critic = self.critic.init(kc, dummy)
+        # ImageNet-pretrained ResNet34 init for the RGB/depth student
+        # (≙ torchvision pretrained=True, network.py:207); the cfg points
+        # at an .npz produced by tools/resnet_convert.py
+        pre = self.net_cfg.get("pretrained")
+        if pre and self.net_cfg["name"] in ("ResNet", "depthResNet"):
+            from .networks import load_resnet34_pretrained
+            actor = load_resnet34_pretrained(actor, pre)
+            critic = load_resnet34_pretrained(critic, pre)
         log_std = jnp.full((self.num_actions,),
                            np.log(max(self.action_std, 1e-8)))
         return ACParams(actor=actor, critic=critic, log_std=log_std)

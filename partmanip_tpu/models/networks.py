@@ -208,6 +208,56 @@ class depthResNet(ResNet):
     in_channels: int = 1
 
 
+def load_resnet34_pretrained(variables, npz_path: str):
+    """Graft converted ImageNet ResNet-34 weights (tools/resnet_convert.py)
+    into an initialized ResNet/depthResNet variables dict
+    (≙ ``torchvision.models.resnet34(pretrained=True)``,
+    ``algorithms/algo_utils/network.py:207``).
+
+    For 1-channel (depth) stems the pretrained RGB stem kernel is summed
+    over its input-channel axis — the standard grayscale adaptation.
+    Returns a new variables dict; the MLP head keeps its fresh init.
+    """
+    import numpy as np
+
+    flat = dict(np.load(npz_path))
+    nested: dict = {}
+    for k, v in flat.items():
+        parts = k.split("/")
+        d = nested
+        for p in parts[:-1]:
+            d = d.setdefault(p, {})
+        d[parts[-1]] = v
+
+    import jax
+
+    def graft(tree, loaded):
+        out = dict(tree)
+        for k, v in loaded.items():
+            if isinstance(v, dict):
+                out[k] = graft(tree[k], v)
+            else:
+                cur = tree[k]
+                v = jnp.asarray(v, cur.dtype)
+                if v.shape != cur.shape:
+                    # depth stem: [7,7,3,64] → [7,7,1,64] via channel sum
+                    assert (v.ndim == 4 and cur.shape[2] == 1
+                            and v.shape[2] == 3), (k, v.shape, cur.shape)
+                    v = v.sum(axis=2, keepdims=True)
+                out[k] = v
+        return out
+
+    new_vars = dict(variables)
+    for col in ("params", "batch_stats"):
+        scope = dict(new_vars[col])
+        key = next(k for k in scope if k.startswith("ResNet34Backbone"))
+        scope[key] = graft(
+            scope[key], {"params": nested["params"],
+                         "batch_stats": nested["batch_stats"]}[col])
+        new_vars[col] = scope
+    return jax.tree.map(jnp.asarray, new_vars)
+
+
 NETWORKS = {
     "MLP": MLP,
     "Conv3DNet": Conv3DNet,
