@@ -69,6 +69,8 @@ def main():
     ap.add_argument("--task", default="open_drawer")
     ap.add_argument("--vision", action="store_true",
                     help="bench the depth renderer instead of PPO")
+    ap.add_argument("--mesh", action="store_true",
+                    help="mesh-handle assets (baked-SDF contact workload)")
     args = ap.parse_args()
     if args.vision:
         return vision_main(args)
@@ -86,11 +88,14 @@ def main():
         def info(self, *a, **k):
             pass
 
-    cfg, sp = config.process_cfgs([
+    cfg_args = [
         "--taskcfg", args.task,
         "--algo.num_envs", str(args.envs),
         "--task.asset.num_objects", "16",
-    ])
+    ]
+    if args.mesh:
+        cfg_args.append("--task.asset.mesh_handle")
+    cfg, sp = config.process_cfgs(cfg_args)
     if args.task == "open_drawer":
         from partmanip_tpu.envs.open_drawer import OpenDrawerEnv
         env = OpenDrawerEnv(cfg["task"], sp)
@@ -124,8 +129,9 @@ def main():
 
     steps = ppo.n_steps * args.envs * args.iters
     value = steps / dt
+    task_tag = args.task + ("_mesh" if args.mesh else "")
     print(json.dumps({
-        "metric": f"aggregate_env_steps_per_sec_{args.task}_{args.envs}envs",
+        "metric": f"aggregate_env_steps_per_sec_{task_tag}_{args.envs}envs",
         "value": round(value, 1),
         "unit": "env-steps/s",
         "vs_baseline": round(value / 1_000_000, 4),

@@ -38,7 +38,12 @@ _FRICTION_VEPS = 1e-3
 # Brake-early factor of the saturated-drive switching curve (see step_tree):
 # < 1 starts decelerating before the diagonal-mass time-optimal point, which
 # absorbs the error of neglecting the off-diagonal inertia coupling.
-_BRAKE_BETA = 0.8
+_BRAKE_BETA = 0.25
+
+# Floor of the saturated-drive velocity boundary layer (rad/s resp. m/s):
+# the implicit servo slope is capped at effort/_SAT_VEPS for very heavy or
+# weak dofs where one substep's velocity quantum effort·h/M is below this.
+_SAT_VEPS = 1e-2
 
 
 def mass_matrix(spec: TreeSpec, fk, E: int) -> jnp.ndarray:
@@ -214,8 +219,8 @@ def step_tree(
 
     bias = bias_forces(spec, state, gravity, coriolis=coriolis, fk=fk)
 
-    def assemble(unsat):
-        diag = (h * (kd * unsat + damping + d_fric)
+    def assemble(unsat, b_extra=0.0):
+        diag = (h * (kd * unsat + b_extra + damping + d_fric)
                 + (h * h) * (kp * unsat))
         A = M + jnp.vectorize(jnp.diag, signature="(d)->(d,d)")(diag * dm)
         if implicit is not None:
@@ -238,32 +243,43 @@ def step_tree(
     # position error keeps |kp·err| ≫ effort, so the clipped-PD sign equals
     # sign(err) until the target is crossed and the kd term never manifests
     # — under per-step moving targets the joints limit-cycle at their
-    # velocity limits (measured: wrist qvel pinned at 2.175/2.61 rad/s while
-    # tracking a 0.3 rad/s command, turning the gripper into a ~1 m/s hammer
-    # that launches the 0.125 kg cube).  PhysX's TGS re-solves the clamped
-    # drive 16× per substep, switching to braking *within* the step; we
-    # emulate that re-linearization analytically with the time-optimal
-    # switching curve of an effort-limited servo:
-    #     v*(err) = sign(err)·min(vel_limit, √(2·β·(effort/M_d)·|err|))
-    #     τ_sat   = clip(M_d·(v* − q̇)/h, ±effort)
-    # (M_d = pass-1 diagonal inertia; the deadbeat gain M_d/h sits exactly
-    # at the explicit-damping stability bound).  Unsaturated dofs stay fully
-    # implicit — the clipped-PD semantics are unchanged where the clamp is
-    # inactive.
-    A1_diag = M.reshape(E, D * D)[:, :: D + 1] + (
-        h * (kd + damping + d_fric) + h * h * kp) * dm
-    if implicit is not None:
-        A1_diag = A1_diag + jnp.einsum(
-            "epad,epab,epbd->ed", implicit.Jp, implicit.N, implicit.Jp)
+    # velocity limits, turning the gripper into a ~1 m/s hammer.  PhysX's
+    # TGS re-solves the clamped drive 16× per substep, switching to braking
+    # *within* the step; we emulate that re-linearization with an
+    # effort-limited velocity servo toward the time-optimal approach speed
+    #     v*(err) = sign(err)·min(vel_limit, |err|/h, √(2·β·a_max·|err|)),
+    #     a_max   = effort / M_d   (M_d = the dof's TRUE diagonal inertia —
+    #               the deceleration the clamp can actually deliver;
+    #               |err|/h is the no-overshoot deadbeat position cap),
+    # applied as the *implicit* servo  τ_sat(q̇⁺) = b·(v* − q̇⁺)  with the
+    # adaptive slope  b = effort / max(|v*−q̇|, ε):
+    #   · at the linearization point |τ| = effort exactly (far regime:
+    #     h·b ≪ M_d, i.e. a constant full-effort push/brake);
+    #   · q̇⁺ lands monotonically between q̇ and v*, so |τ| ≤ effort holds
+    #     at the end-of-step velocity too — no clip, no branches;
+    #   · as |v*−q̇| → ε the slope blows up (h·b ≫ M_d) and the servo
+    #     becomes a hard velocity constraint that off-diagonal inertia
+    #     coupling cannot defeat (a fixed deadbeat gain — the previous
+    #     scheme — either chatters when explicit or, softened to the
+    #     stability bound M_d/h, loses to coupling torques and lets light
+    #     wrist dofs overshoot ~6 mrad per commanded step, which flails
+    #     the arm under per-step moving IK targets; scripts/probe_drive.py
+    #     shows the per-substep transients).
+    # Unsaturated dofs stay fully implicit — clipped-PD semantics unchanged
+    # where the clamp is inactive.
+    M_diag = M.reshape(E, D * D)[:, :: D + 1]
     vel_lim = jnp.broadcast_to(spec.dof_vel_limit, (E, D))
-    a_max = effort / jnp.maximum(A1_diag, 1e-9)
+    a_max = effort / jnp.maximum(M_diag, 1e-9)
     err = pos_targets - q
     v_opt = jnp.sign(err) * jnp.minimum(
-        vel_lim, jnp.sqrt(2.0 * _BRAKE_BETA * a_max * jnp.abs(err)))
-    tau_sat = jnp.clip(A1_diag * (v_opt - qv) / h, -effort, effort)
-    tau_drive = sat * tau_sat + unsat * tau_d0
+        vel_lim, jnp.minimum(jnp.abs(err) / h,
+                             jnp.sqrt(2.0 * _BRAKE_BETA * a_max
+                                      * jnp.abs(err))))
+    dv = v_opt - qv
+    b_imp = sat * effort / jnp.maximum(jnp.abs(dv), _SAT_VEPS)
+    tau_drive = b_imp * dv + unsat * tau_d0
     rhs = (tau_drive + tau_fric + tau_ext - bias) * dm
-    qacc = spd_solve(assemble(unsat), rhs) * dm
+    qacc = spd_solve(assemble(unsat, b_imp), rhs) * dm
 
     qv_new = jnp.clip(qv + h * qacc, -vel_lim, vel_lim)
     q_new = q + h * qv_new

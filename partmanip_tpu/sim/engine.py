@@ -459,7 +459,18 @@ def physics_step(scene: SceneSpec, state: SceneState,
     p = scene.params
     if getattr(p, "use_fused", True):
         from . import fused
-        if fused.fused_supported(scene, state.robot.qpos.shape[0]):
+        E = state.robot.qpos.shape[0]
+        # under an active device mesh the Pallas kernel does not partition
+        # via GSPMD — run it per-device on the env shard via shard_map
+        from ..parallel import mesh as mesh_lib
+        m = mesh_lib.active_mesh()
+        if m is not None:
+            n = int(m.devices.size)
+            if (fused.shard_tile(E, n) is not None
+                    and fused.fused_supported(scene, E // n)):
+                return mesh_lib.shard_physics_step(m, scene, state,
+                                                   pos_targets)
+        elif fused.fused_supported(scene, E):
             return fused.fused_physics_step(scene, state, pos_targets)
     n = p.substeps * p.inner_substeps
     h = p.dt / n

@@ -530,8 +530,9 @@ def tree_step(ta: TreeArgs, M, JtNJ, qpos, qvel, targets, tau_ext, h):
 
     A_base = M + JtNJ
 
-    def assemble(unsat):
-        diag = (h * (kd * unsat + damping + d_fric)
+    def assemble(unsat, b_extra=None):
+        diag = (h * (kd * unsat + (0.0 if b_extra is None else b_extra)
+                     + damping + d_fric)
                 + (h * h) * (kp * unsat)) * dm
         return jnp.stack([
             jnp.stack([A_base[d, d] + diag[d] if f == d else A_base[d, f]
@@ -545,21 +546,23 @@ def tree_step(ta: TreeArgs, M, JtNJ, qpos, qvel, targets, tau_ext, h):
     sat = (jnp.abs(tau_imp) > effort).astype(qpos.dtype)
     unsat = 1.0 - sat
 
-    # Saturated dofs: time-optimal braking servo instead of constant
-    # ±effort bang-bang (see dynamics.step_tree for the derivation — this
-    # emulates PhysX TGS's intra-substep drive re-linearization and kills
-    # the velocity-limit limit cycle under moving targets).
+    # Saturated dofs: implicit effort-limited velocity servo toward the
+    # time-optimal approach speed (see dynamics.step_tree for the full
+    # derivation — this emulates PhysX TGS's intra-substep drive
+    # re-linearization without the velocity chatter of an explicit
+    # deadbeat gain).
     vel_lim = ta.dvec_stack("vel_limit", qpos)
-    A1_diag = (jnp.stack([A_base[d, d] for d in range(D)])
-               + (h * (kd + damping + d_fric) + h * h * kp) * dm)
-    a_max = effort / jnp.maximum(A1_diag, 1e-9)
+    M_diag = jnp.stack([M[d, d] for d in range(D)])
+    a_max = effort / jnp.maximum(M_diag, 1e-9)
     err = targets - qpos
     v_opt = jnp.sign(err) * jnp.minimum(
-        vel_lim, jnp.sqrt(2.0 * 0.8 * a_max * jnp.abs(err)))
-    tau_sat = jnp.clip(A1_diag * (v_opt - qvel) / h, -effort, effort)
-    tau_drive = sat * tau_sat + unsat * tau_d0
+        vel_lim, jnp.minimum(jnp.abs(err) / h,
+                             jnp.sqrt(2.0 * 0.25 * a_max * jnp.abs(err))))
+    dv = v_opt - qvel
+    b_imp = sat * effort / jnp.maximum(jnp.abs(dv), 1e-2)
+    tau_drive = b_imp * dv + unsat * tau_d0
     rhs = (tau_drive + tau_fric + tau_ext) * dm
-    qacc = _spd_solve_tiled(assemble(unsat), rhs) * dm
+    qacc = _spd_solve_tiled(assemble(unsat, b_imp), rhs) * dm
 
     lower = ta.dvec_stack("lower", qpos)
     upper = ta.dvec_stack("upper", qpos)
@@ -695,7 +698,14 @@ class FusedMeta(NamedTuple):
     has_body: bool
     Lo: int = 0
     Do: int = 0
-    G: int = 0
+    G: int = 0                 # total object geoms = boxes + grid geoms
+    n_grid: int = 0            # trailing n_grid slots of the G axis are
+    #                            baked-SDF mesh geoms: their narrowphase
+    #                            (depth/normal/active) is computed OUTSIDE
+    #                            the kernel (XLA trilinear gathers, which
+    #                            Mosaic cannot express per-lane) and fed in
+    #                            as per-step inputs; poses, Jacobians,
+    #                            reactions and anchors reuse the box path
 
 
 OBJ_STATE_KEYS = ("oq", "ov", "orp", "orq")
@@ -842,16 +852,48 @@ def _inner_step_tiled(meta: FusedMeta, inp):
         w_b = jnp.sum(Jw_box * ov[None, None], axis=2)
 
         rel_o = centers[:, :, None] - bpw[:, None]        # [3, S, G, R, C]
-        p_loc = _qrot_inv(bqw[:, None], rel_o)
-        half_o = jnp.moveaxis(inp["b_half"], 1, 0)[:, None]  # [3,1,G,R,C]
-        dist, n_loc = _box_sdf_tiled(p_loc, half_o)
-        n_o = _qrot(bqw[:, None], n_loc)                  # [3, S, G, R, C]
-        depth_o = dist - radii[:, None]
-        v_other = v_bc[:, None] + _cross(w_b[:, None], rel_o)
-        mu_o = 0.5 * (mu_s[:, None] + inp["b_mu"][None])  # [S, G, R, C]
-        active = inp["b_mask"][None]
-        f_o, fn_o, t_o = _penalty(depth_o, n_o, v_s[:, :, None], v_other,
-                                  active, mu_o, p, 0.3, (0, 1))
+        if meta.n_grid:
+            # baked-SDF geoms ride the tail of the G axis with externally
+            # computed narrowphase (see fused_physics_step /
+            # _grid_narrowphase; ≙ engine 3b).  The penalty budget (n_act)
+            # is computed per contact *set* — boxes and grids separately —
+            # matching the two penalty_forces calls in engine._inner_step.
+            Gb = G - meta.n_grid                          # analytic boxes
+            p_loc = _qrot_inv(bqw[:, None, :Gb], rel_o[:, :, :Gb])
+            half_o = jnp.moveaxis(inp["b_half"], 1, 0)[:, None, :Gb]
+            dist, n_loc = _box_sdf_tiled(p_loc, half_o)
+            n_box = _qrot(bqw[:, None, :Gb], n_loc)       # [3, S, Gb, R, C]
+            depth_box = dist - radii[:, None]
+            v_other = v_bc[:, None] + _cross(w_b[:, None], rel_o)
+            mu_o = 0.5 * (mu_s[:, None] + inp["b_mu"][None])
+            depth_o = jnp.concatenate([depth_box, inp["g_depth"]], axis=1)
+            n_o = jnp.concatenate([n_box, inp["g_normal"]], axis=2)
+            act_box = jnp.broadcast_to(inp["b_mask"][None, :Gb],
+                                       depth_box.shape)
+            act_grid = inp["b_mask"][None, Gb:] * inp["g_active"]
+            f_bx, fn_bx, t_bx = _penalty(
+                depth_box, n_box, v_s[:, :, None], v_other[:, :, :Gb],
+                act_box, mu_o[:, :Gb], p, 0.3, (0, 1))
+            f_gr, fn_gr, t_gr = _penalty(
+                inp["g_depth"], inp["g_normal"], v_s[:, :, None],
+                v_other[:, :, Gb:], act_grid, mu_o[:, Gb:], p, 0.3, (0, 1))
+            f_o = jnp.concatenate([f_bx, f_gr], axis=2)
+            fn_o = jnp.concatenate([fn_bx, fn_gr], axis=1)
+            t_o = jnp.concatenate([t_bx, t_gr], axis=1)
+        else:
+            # no-grid path: keep this jaxpr IDENTICAL to the pre-grid
+            # kernel (XLA:CPU interpret compiles of this graph take ~1 h
+            # on the CI host and are cached by HLO fingerprint)
+            p_loc = _qrot_inv(bqw[:, None], rel_o)
+            half_o = jnp.moveaxis(inp["b_half"], 1, 0)[:, None]
+            dist, n_loc = _box_sdf_tiled(p_loc, half_o)
+            n_o = _qrot(bqw[:, None], n_loc)              # [3, S, G, R, C]
+            depth_o = dist - radii[:, None]
+            v_other = v_bc[:, None] + _cross(w_b[:, None], rel_o)
+            mu_o = 0.5 * (mu_s[:, None] + inp["b_mu"][None])
+            active = inp["b_mask"][None]
+            f_o, fn_o, t_o = _penalty(depth_o, n_o, v_s[:, :, None],
+                                      v_other, active, mu_o, p, 0.3, (0, 1))
         F_sph = F_sph + jnp.sum(f_o, axis=2)
         imp_o = _imp_coef(t_o, 0.3, p)
         for a in range(3):
@@ -1113,14 +1155,16 @@ def fused_supported(scene, E: int) -> bool:
     """Can this scene/state run on the fused kernel?  (Fallbacks documented
     in the module docstring.)"""
     p = scene.params
-    if p.coriolis or _tile_shape(E) is None:
+    if p.coriolis or E < 1:
         return False
+    # E not divisible by 128 is handled by padding the env axis up to the
+    # next tile multiple inside fused_physics_step (padded rows replicate
+    # env 0; no cross-env coupling exists, so real envs are unaffected)
     if jax.default_backend() != "tpu" and not ALLOW_INTERPRET:
         return False
-    if getattr(scene, "obj_grids", None) is not None:
-        # mesh-SDF collision (trilinear gathers) runs on the reference jnp
-        # engine; the gather-free kernel covers analytic-geometry scenes
-        return False
+    if (getattr(scene, "obj_grids", None) is not None
+            and getattr(scene, "grid_stack", None) is None):
+        return False  # grid geoms without their SDF stack — cannot query
     try:
         if np.asarray(scene.robot.parent).shape[0] != 1:
             return False
@@ -1139,9 +1183,17 @@ def fused_supported(scene, E: int) -> bool:
     return True
 
 
-def _prepare(scene, E: int):
-    """Build (meta, tiled per-env spec dict) for a scene — cached."""
-    R, C = _tile_shape(E)
+def _prepare(scene, E: int, R: int = None):
+    """Build (meta, tiled per-env spec dict) for a scene — cached.
+
+    ``R`` overrides the sublane count of the (R, 128) env tiling: the
+    sharded path (parallel/mesh.py shard_physics_step) tiles the GLOBAL
+    env axis with the PER-DEVICE tile shape so contiguous device blocks
+    of the tiled axis line up with contiguous env shards."""
+    if R is None:
+        R, C = _tile_shape(E)
+    else:
+        C = LANE
     rt = _robot_args(scene.robot)
     sph = jax.tree.map(np.asarray, scene.spheres)
     S = sph.link_idx.shape[0]
@@ -1151,21 +1203,57 @@ def _prepare(scene, E: int):
     has_obj = scene.obj_tree is not None
     has_body = scene.free_body is not None
     spec_tiled = {}
-    Lo = Do = G = 0
+    Lo = Do = G = K = 0
     if has_obj:
         ot, bx = scene.obj_tree, scene.obj_boxes
         Lo = ot.parent.shape[-1]
         Do = ot.dof_mask.shape[-1]
         G = bx.link_idx.shape[-1]
 
+        # baked-SDF mesh geoms ride the same G axis as the boxes (poses,
+        # Jacobians, reactions, anchors); only their narrowphase comes from
+        # outside the kernel.  b_half is a placeholder (never used for the
+        # grid slots — the box SDF is only evaluated on the first G geoms).
+        gg = getattr(scene, "obj_grids", None)
+        if gg is not None:
+            gg = jax.tree.map(np.asarray, gg)
+            K = gg.link_idx.shape[-1]
+
+        def _cat_geom(a, b):
+            a, b = np.asarray(a), np.asarray(b)
+            Eg = max(a.shape[0], b.shape[0])
+            a = np.broadcast_to(a, (Eg,) + a.shape[1:])
+            b = np.broadcast_to(b, (Eg,) + b.shape[1:])
+            return np.concatenate([a, b], axis=1)
+
         def bco(a, feat_shape):
             """Broadcast an [E?|1, ...] spec array to [E, ...] then tile.
             Pure numpy: _prepare may run inside a jit trace and its result
             is cached across traces — staging jnp ops here would leak
             tracers."""
-            a = np.broadcast_to(np.asarray(a), (E,) + feat_shape)
+            a = np.asarray(a)
+            if a.shape[0] not in (1, E):
+                # env axis padded to a tile multiple: replicate env 0 for
+                # the pad rows (matches the state padding)
+                a = np.concatenate(
+                    [a, np.repeat(a[:1], E - a.shape[0], axis=0)], axis=0)
+            a = np.broadcast_to(a, (E,) + feat_shape)
             y = a.reshape((E // (R * LANE), R, LANE) + a.shape[1:])
             return np.ascontiguousarray(np.moveaxis(y, (1, 2), (-2, -1)))
+
+        if K:
+            b_link = _cat_geom(bx.link_idx, gg.link_idx)
+            b_pos = _cat_geom(bx.offset_pos, gg.offset_pos)
+            b_quat = _cat_geom(bx.offset_quat, gg.offset_quat)
+            b_half = _cat_geom(
+                bx.half_extents,
+                np.full(gg.offset_pos.shape, 0.01, np.float32))
+            b_mask = _cat_geom(bx.geom_mask, gg.geom_mask)
+            b_mu = _cat_geom(bx.friction, gg.friction)
+            G = G + K
+        else:
+            b_link, b_pos, b_quat = bx.link_idx, bx.offset_pos, bx.offset_quat
+            b_half, b_mask, b_mu = bx.half_extents, bx.geom_mask, bx.friction
 
         spec_tiled = {
             "o_parent": bco(ot.parent, (Lo,)),
@@ -1190,12 +1278,12 @@ def _prepare(scene, E: int):
             "o_kp": bco(ot.drive_kp, (Do,)),
             "o_kd": bco(ot.drive_kd, (Do,)),
             "o_ancestor": bco(ot.ancestor, (Lo, Do)),
-            "b_link": bco(bx.link_idx, (G,)),
-            "b_pos": bco(bx.offset_pos, (G, 3)),
-            "b_quat": bco(bx.offset_quat, (G, 4)),
-            "b_half": bco(bx.half_extents, (G, 3)),
-            "b_mask": bco(bx.geom_mask, (G,)),
-            "b_mu": bco(bx.friction, (G,)),
+            "b_link": bco(b_link, (G,)),
+            "b_pos": bco(b_pos, (G, 3)),
+            "b_quat": bco(b_quat, (G, 4)),
+            "b_half": bco(b_half, (G, 3)),
+            "b_mask": bco(b_mask, (G,)),
+            "b_mu": bco(b_mu, (G,)),
         }
 
     fb = None
@@ -1204,27 +1292,42 @@ def _prepare(scene, E: int):
 
     meta = FusedMeta(params=scene.params, robot=rt, spheres=sph,
                      sphere_anc=sphere_anc.astype(np.float32), fb=fb,
-                     has_obj=has_obj, has_body=has_body, Lo=Lo, Do=Do, G=G)
+                     has_obj=has_obj, has_body=has_body, Lo=Lo, Do=Do, G=G,
+                     n_grid=K)
     return meta, spec_tiled, (R, C)
 
 
 _SCENE_CACHE: dict = {}
 
 
-def _get_prepared(scene, E: int):
-    key = (id(scene), E)
+def _get_prepared(scene, E: int, R: int = None):
+    key = (id(scene), E, R)
     hit = _SCENE_CACHE.get(key)
     if hit is not None and hit[0] is scene:
         return hit[1]
-    prepared = _prepare(scene, E)
+    prepared = _prepare(scene, E, R)
     _SCENE_CACHE[key] = (scene, prepared)
     return prepared
+
+
+def shard_tile(E: int, n_devices: int):
+    """Per-device sublane count R for sharding E envs over n devices with
+    whole (R, 128) tiles per device, or None if the split doesn't tile."""
+    if E % n_devices:
+        return None
+    El = E // n_devices
+    rc = _tile_shape(El)
+    if rc is None or El % (rc[0] * LANE):
+        return None
+    return rc[0]
 
 
 def _state_names(meta: FusedMeta):
     names = ["rq", "rv", "rrp", "rrq", "anc_p", "anc_b", "tgt"]
     if meta.has_obj:
         names += list(OBJ_STATE_KEYS)
+    if meta.n_grid:
+        names += ["g_depth", "g_normal", "g_active"]
     if meta.has_body:
         names += list(BODY_STATE_KEYS)
     return names
@@ -1278,21 +1381,106 @@ def _make_step_call(meta: FusedMeta, in_names, out_names, interpret):
     return call
 
 
-def fused_physics_step(scene, state, pos_targets):
+def _grid_narrowphase(scene, rq, rrp, rrq, oq, orp, orq):
+    """Sphere-vs-baked-SDF narrowphase for the fused kernel's grid slots:
+    (depth [E, S, K], world normal [E, 3, S, K], active [E, S, K]).
+
+    Runs as plain XLA *between* the per-inner-step pallas_calls — the
+    trilinear gather (per-lane dynamic indices) is the one operation Mosaic
+    cannot express, and it is exactly the engine's formulas
+    (engine._inner_step 3b) on the same state the kernel reads, so parity
+    with the jnp engine is preserved per inner step."""
+    from ..ops import rotations as rot
+    from ..ops import sdf as sdf_ops
+    from . import contact as contact_mod
+    from . import kinematics
+    from .types import TreeState
+
+    E = rq.shape[0]
+    zeros_r = jnp.zeros_like(rq)
+    fk_r = kinematics.forward_kinematics(
+        scene.robot, TreeState(qpos=rq, qvel=zeros_r, root_pos=rrp,
+                               root_quat=rrq))
+    centers = contact_mod.sphere_positions(scene.robot, fk_r, scene.spheres,
+                                           E)                   # [E, S, 3]
+    S = centers.shape[1]
+    fk_o = kinematics.forward_kinematics(
+        scene.obj_tree, TreeState(qpos=oq, qvel=jnp.zeros_like(oq),
+                                  root_pos=orp, root_quat=orq))
+    gg = scene.obj_grids
+    K = gg.link_idx.shape[-1]
+    glink = jnp.broadcast_to(gg.link_idx, (E, K))
+    gp, gq = rot.transform_compose(
+        kinematics._take_env(fk_o.link_pos, glink),
+        kinematics._take_env(fk_o.link_quat, glink),
+        jnp.broadcast_to(gg.offset_pos, (E, K, 3)),
+        jnp.broadcast_to(gg.offset_quat, (E, K, 4)))
+    relg = centers[:, :, None, :] - gp[:, None, :, :]           # [E,S,K,3]
+    gq_b = jnp.broadcast_to(gq[:, None], (E, S, K, 4))
+    p_locg = rot.quat_rotate_inverse(gq_b, relg)
+    gid = jnp.broadcast_to(
+        jnp.broadcast_to(gg.grid_id, (E, K))[:, None, :], (E, S, K))
+    val, grad = sdf_ops.grid_query_grad(scene.grid_stack, gid, p_locg,
+                                        outside_value=1.0)
+    gnorm = jnp.linalg.norm(grad, axis=-1)
+    n_loc = grad / jnp.maximum(gnorm, 1e-9)[..., None]
+    n_w = rot.quat_rotate(gq_b, n_loc)                          # [E,S,K,3]
+    radii = jnp.asarray(scene.spheres.radius)
+    depth = val - radii[None, :, None]
+    active = (gnorm > 1e-6).astype(rq.dtype)
+    return depth, jnp.moveaxis(n_w, -1, 1), active
+
+
+def fused_physics_step(scene, state, pos_targets, local=None):
     """Drop-in replacement for :func:`engine.physics_step` on the fused
     kernel: ``substeps × inner_substeps`` inner steps with constant PD
-    targets, each one pallas_call."""
+    targets, each one pallas_call.
+
+    ``local`` is set only by the sharded path (mesh.shard_physics_step):
+    a dict with ``meta`` / ``spec`` (this device's shard of the global
+    tiled spec arrays, possibly tracers) / ``RC``; ``scene`` then already
+    carries this device's per-env obj spec rows (for the narrowphase) and
+    the env axis must tile exactly (no padding)."""
     from . import engine as engine_lib  # avoid import cycle
 
     E = state.robot.qpos.shape[0]
-    meta, spec_tiled, (R, C) = _get_prepared(scene, E)
+    E_pad = -(-E // LANE) * LANE
+    if E_pad > 8 * LANE and E_pad % (8 * LANE):
+        # above 8 sublanes the tiling is (8, 128) blocks — pad to whole ones
+        E_pad = -(-E_pad // (8 * LANE)) * (8 * LANE)
+    if local is not None:
+        E_pad = E
+    scene_nphase = scene  # scene view for the XLA-side grid narrowphase
+    if E_pad != E:
+        # pad the env axis to a tile multiple with copies of env 0 (envs
+        # are fully independent); results are sliced back below
+        pad = lambda x: jnp.concatenate(
+            [x, jnp.broadcast_to(x[:1], (E_pad - E,) + x.shape[1:])], 0)
+        state = jax.tree.map(pad, state)
+        pos_targets = pad(pos_targets)
+        if getattr(scene, "obj_grids", None) is not None:
+            # per-env spec arrays must match the padded env axis for the
+            # narrowphase FK (the kernel's own specs are padded in bco)
+            def pad_spec(x):
+                if (hasattr(x, "ndim") and x.ndim >= 1
+                        and x.shape[0] == E and E > 1):
+                    return pad(jnp.asarray(x))
+                return x
+            scene_nphase = scene._replace(
+                obj_tree=jax.tree.map(pad_spec, scene.obj_tree),
+                obj_grids=jax.tree.map(pad_spec, scene.obj_grids))
+    if local is not None:
+        meta, spec_tiled = local["meta"], local["spec"]
+        R, C = local["RC"]
+    else:
+        meta, spec_tiled, (R, C) = _get_prepared(scene, E_pad)
     p = scene.params
     n = p.substeps * p.inner_substeps
     interpret = jax.default_backend() == "cpu"
 
     if state.anchors is None:
         S = meta.spheres.link_idx.shape[0]
-        state = state._replace(anchors=contact_lib.init_anchors(E, S))
+        state = state._replace(anchors=contact_lib.init_anchors(E_pad, S))
 
     f32 = jnp.float32
     carry = {
@@ -1328,12 +1516,32 @@ def fused_physics_step(scene, state, pos_targets):
         inputs.update(const)
         if meta.has_obj:
             inputs["oq"], inputs["ov"] = c["oq"], c["ov"]
+        if meta.n_grid:
+            # per-step external narrowphase for the baked-SDF geoms (the
+            # only gather; everything else stays inside the kernel)
+            d, nrm, act = _grid_narrowphase(
+                scene_nphase, unpack_tiled(c["rq"]), state.robot.root_pos,
+                state.robot.root_quat, unpack_tiled(c["oq"]),
+                state.obj.root_pos, state.obj.root_quat)
+            inputs["g_depth"] = pack_tiled(d.astype(f32), R)
+            inputs["g_normal"] = pack_tiled(nrm.astype(f32), R)
+            inputs["g_active"] = pack_tiled(act.astype(f32), R)
         outs = call(inputs)
         new_c = dict(c)
         new_c.update(outs)
         return new_c, None
 
-    carry, _ = jax.lax.scan(body, carry, None, length=n)
+    if interpret:
+        # Interpret mode (CPU tests): a Python loop keeps the pallas_call
+        # eager — each kernel op dispatches individually in seconds.  Under
+        # lax.scan the interpreted kernel body is inlined into the scan
+        # computation and XLA:CPU compiles the whole ~30k-op graph (~2 h on
+        # the 1-vCPU CI host).  Inside an enclosing jit (sharded interpret
+        # tests) the loop simply unrolls, same as scan at these lengths.
+        for _ in range(n):
+            carry, _ = body(carry, None)
+    else:
+        carry, _ = jax.lax.scan(body, carry, None, length=n)
 
     robot = state.robot._replace(qpos=unpack_tiled(carry["rq"]),
                                  qvel=unpack_tiled(carry["rv"]))
@@ -1351,5 +1559,8 @@ def fused_physics_step(scene, state, pos_targets):
                                 quat=unpack_tiled(carry["bquat"]),
                                 linvel=unpack_tiled(carry["blin"]),
                                 angvel=unpack_tiled(carry["bang"]))
-    return engine_lib.SceneState(robot=robot, obj=obj, body=body_st,
-                                 anchors=anchors)
+    out = engine_lib.SceneState(robot=robot, obj=obj, body=body_st,
+                                anchors=anchors)
+    if E_pad != E:
+        out = jax.tree.map(lambda x: x[:E], out)
+    return out

@@ -60,12 +60,15 @@ def main():
     E = args.envs
     phase = np.zeros(E, np.int32)  # 0 hover, 1 descend, 2 close, 3 lift
     close_timer = np.zeros(E, np.int32)
+    grasp_pt = np.zeros((E, 3), np.float32)
     for t in range(args.steps):
         view = views(state)
         tip = np.asarray(view.tip_pos)
         tipq = np.asarray(view.tip_state[:, 3:7])
         gl = np.asarray(view.gripper_length)
         objp = np.asarray(state.sim.body.pos)
+        qv = np.asarray(view.qvel)
+        arm_spd = np.abs(qv[:, :-2]).max(axis=1)
 
         act = np.zeros((E, env.num_actions), np.float32)
         for e in range(E):
@@ -75,12 +78,15 @@ def main():
                     phase[e] = 1
             elif phase[e] == 1:
                 tgt = objp[e] + np.array([0, 0, 0.0])
-                if np.linalg.norm(tip[e] - tgt) < 0.008:
+                # settle before closing: a policy closing mid-flight slaps
+                # the cube out of the gripper (see CLAUDE.md round-3 notes)
+                if np.linalg.norm(tip[e] - tgt) < 0.006 and arm_spd[e] < 0.1:
                     phase[e] = 2
+                    grasp_pt[e] = tgt
             elif phase[e] == 2:
-                tgt = objp[e]
+                tgt = grasp_pt[e]      # hold still; do not chase the cube
                 close_timer[e] += 1
-                if close_timer[e] > 40:
+                if close_timer[e] > 60:
                     phase[e] = 3
             else:
                 tgt = np.array([0, 0, 0.2])
@@ -93,16 +99,22 @@ def main():
             oerr = np.asarray(rot.orientation_error(
                 gq, jnp.asarray(tipq[e:e + 1])))[0]
             act[e, 3:6] = np.clip(oerr / 0.005, -1, 1)
-            act[e, 6] = 1.0 if phase[e] < 2 else -1.0
+            # half-speed close: gentle pinch instead of a slap
+            act[e, 6] = 1.0 if phase[e] < 2 else -0.4
         state, obs, rew, reset, extras = step(state, jnp.asarray(act))
-        if t % 20 == 0 or t == args.steps - 1:
+        if t % 20 == 0 or t == args.steps - 1 or (55 <= t <= 125 and t % 5 == 0):
             d = np.linalg.norm(tip - objp, axis=-1)
+            qv = np.asarray(view.qvel)
             print(f"t={t:3d} phase={phase.tolist()} "
                   f"tcp_to_obj={np.round(d, 4).tolist()} "
                   f"gl={np.round(gl, 4).tolist()} "
                   f"objz={np.round(objp[:, 2], 4).tolist()} "
                   f"reached={np.asarray(extras['is_reached']).tolist()} "
                   f"succ={np.asarray(state.success).tolist()}")
+            print(f"      tip0={np.round(tip[0], 3).tolist()} "
+                  f"obj0={np.round(objp[0], 3).tolist()} "
+                  f"armv0={np.round(qv[0, :7], 2).tolist()} "
+                  f"fing0={np.round(np.asarray(view.qpos)[0, -2:], 4).tolist()}")
     print("final success:", np.asarray(state.success).tolist())
     print("final obj pos:", np.round(np.asarray(state.sim.body.pos), 4).tolist())
 

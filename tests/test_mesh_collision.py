@@ -75,6 +75,20 @@ def _mesh_env(n_envs=2):
 
 
 class TestMeshHandleAsset:
+    def test_ensure_assets_mesh_split(self, tmp_path):
+        """ensure_drawer_assets(mesh_handle=True) generates into a separate
+        <split>_mesh dir with mesh handle geoms (the bench --mesh path)."""
+        dirs = assets.ensure_drawer_assets(str(tmp_path), "train", 1,
+                                           mesh_handle=True)
+        assert len(dirs) == 1 and os.sep + "train_mesh" + os.sep in dirs[0]
+        p = assets.parse_urdf(os.path.join(dirs[0], "mobility_new.urdf"))
+        assert len(p.meshes) > 0        # handles emitted as mesh geoms
+        # box split untouched / independent
+        dirs_box = assets.ensure_drawer_assets(str(tmp_path), "train", 1)
+        p2 = assets.parse_urdf(os.path.join(dirs_box[0],
+                                            "mobility_new.urdf"))
+        assert len(p2.meshes) == 0
+
     def test_parse_and_bake(self):
         env, sp = _mesh_env()
         assert env.scene.obj_grids is not None

@@ -74,3 +74,111 @@ class TestShardedTrainIter:
         es8, metrics, curve = ppo8._jit_eval_round(ts8, es8)
         assert np.isfinite(float(metrics["succ_rate_mean"]))
         assert curve.shape == (ppo8.max_episode_length,)
+
+
+class TestShardedFusedKernel:
+    """The fused Pallas inner step under shard_map over the env mesh
+    (VERDICT r2 #4): per-device Mosaic (interpret on CPU) kernels on env
+    shards must reproduce the whole-batch fused step."""
+
+    def test_shard_map_fused_parity(self):
+        from partmanip_tpu.sim import fused
+        from partmanip_tpu.parallel import mesh as mesh_lib
+        from partmanip_tpu.envs.grasp_cube import GraspCubeEnv
+
+        E = 256  # 128 per device on a 2-device mesh
+        cfg, sp = config.process_cfgs(
+            ["--taskcfg", "grasp_cube", "--algo.num_envs", str(E)])
+        one = sp._replace(substeps=1, inner_substeps=1)
+        env = GraspCubeEnv(cfg["task"], one)
+        env.scene = env.scene._replace(params=one)
+        sim = env.init_state(jax.random.PRNGKey(0)).sim
+        targets = jnp.tile(jnp.asarray(env.default_dof), (E, 1))
+
+        mesh = mesh_lib.make_mesh(2)
+        old = fused.ALLOW_INTERPRET
+        try:
+            fused.ALLOW_INTERPRET = True
+            ref = fused.fused_physics_step(env.scene, sim, targets)
+            sharded = mesh_lib.shard_physics_step(mesh, env.scene, sim,
+                                                  targets)
+        finally:
+            fused.ALLOW_INTERPRET = old
+        np.testing.assert_allclose(
+            np.asarray(sharded.robot.qpos), np.asarray(ref.robot.qpos),
+            atol=1e-6, rtol=0)
+        np.testing.assert_allclose(
+            np.asarray(sharded.body.pos), np.asarray(ref.body.pos),
+            atol=1e-6, rtol=0)
+
+    def test_engine_dispatch_under_mesh(self):
+        """engine.physics_step routes through shard_map when a mesh is
+        active and the per-shard env count is tileable."""
+        from partmanip_tpu.sim import fused
+        from partmanip_tpu.parallel import mesh as mesh_lib
+        from partmanip_tpu.envs.grasp_cube import GraspCubeEnv
+        from partmanip_tpu.sim import engine as engine_lib
+
+        E = 256
+        cfg, sp = config.process_cfgs(
+            ["--taskcfg", "grasp_cube", "--algo.num_envs", str(E)])
+        one = sp._replace(substeps=1, inner_substeps=1)
+        env = GraspCubeEnv(cfg["task"], one)
+        env.scene = env.scene._replace(params=one)
+        sim = env.init_state(jax.random.PRNGKey(1)).sim
+        targets = jnp.tile(jnp.asarray(env.default_dof), (E, 1))
+        mesh = mesh_lib.make_mesh(2)
+        old = fused.ALLOW_INTERPRET
+        try:
+            fused.ALLOW_INTERPRET = True
+            mesh_lib.activate(mesh)
+            out = engine_lib.physics_step(env.scene, sim, targets)
+        finally:
+            mesh_lib.activate(None)
+            fused.ALLOW_INTERPRET = old
+        assert np.isfinite(np.asarray(out.robot.qpos)).all()
+
+    def test_heterogeneous_spec_alignment(self):
+        """Heterogeneous scenes (per-env obj specs) under shard_map: the
+        globally-tiled spec arrays, sharded in contiguous device blocks,
+        must equal per-device tiling of each device's env rows — i.e.
+        every device's kernel sees exactly its own variants."""
+        import os
+        from partmanip_tpu.envs import assets
+        from partmanip_tpu.envs.open_drawer import OpenDrawerEnv
+        from partmanip_tpu.parallel import mesh as mesh_lib
+        from partmanip_tpu.sim import fused
+
+        E, n_dev = 256, 2
+        root = "/tmp/partmanip_assets_par"
+        cfg, sp = config.process_cfgs(
+            ["--taskcfg", "open_drawer", "--algo.num_envs", str(E),
+             "--task.asset.num_objects", "2",
+             "--task.asset.assetRoot", root])
+        env = OpenDrawerEnv(cfg["task"], sp)
+        scene = env.scene
+        # per-env leaves exist (2 variants tiled over the env axis)
+        per = mesh_lib._per_env_leaves(scene.obj_tree, E)
+        assert per, "expected per-env obj_tree spec arrays"
+
+        R = fused.shard_tile(E, n_dev)
+        assert R == 1  # 128 envs/device -> (1, 128) tiles
+        _, spec_g, _ = fused._get_prepared(scene, E, R)
+        El = E // n_dev
+        Tl = El // (R * fused.LANE)
+        for d in range(n_dev):
+            rows = slice(d * El, (d + 1) * El)
+            local = scene._replace(
+                obj_tree=jax.tree.map(
+                    lambda x: np.asarray(x)[rows]
+                    if (np.ndim(x) >= 1 and np.shape(x)[0] == E) else x,
+                    scene.obj_tree),
+                obj_boxes=jax.tree.map(
+                    lambda x: np.asarray(x)[rows]
+                    if (np.ndim(x) >= 1 and np.shape(x)[0] == E) else x,
+                    scene.obj_boxes))
+            _, spec_l, _ = fused._get_prepared(local, El)
+            for k in spec_g:
+                np.testing.assert_array_equal(
+                    np.asarray(spec_g[k])[d * Tl:(d + 1) * Tl],
+                    np.asarray(spec_l[k]), err_msg=k)
