@@ -121,9 +121,22 @@ class PPO:
                 self.num_devices,
                 axis_name=par.get("mesh_axis") or mesh_lib.ENV_AXIS)
 
-        self._jit_train_iter = jax.jit(self._train_iteration)
-        self._jit_eval_round = jax.jit(self._eval_round)
-        self._jit_reset = jax.jit(self.env.reset)
+        # _with_mesh makes this trainer's mesh (or None) the active one
+        # while the wrapped jit traces, so engine.physics_step shard_maps
+        # the fused kernel over exactly this mesh (parallel/mesh.py).
+        self._jit_train_iter = self._with_mesh(jax.jit(self._train_iteration))
+        self._jit_eval_round = self._with_mesh(jax.jit(self._eval_round))
+        self._jit_reset = self._with_mesh(jax.jit(self.env.reset))
+
+    def _with_mesh(self, fn):
+        def wrapped(*a, **k):
+            from ..parallel import mesh as mesh_lib
+            mesh_lib.activate(self.mesh)
+            try:
+                return fn(*a, **k)
+            finally:
+                mesh_lib.activate(None)
+        return wrapped
 
     # ------------------------------------------------------------------
     # state init / io
@@ -162,8 +175,7 @@ class PPO:
             # replicated.  jit inherits these placements, so the fused
             # iteration runs sharded without explicit in_shardings.
             from ..parallel import mesh as mesh_lib
-            ts, env_state = mesh_lib.place(self.mesh, self.num_envs, ts,
-                                           env_state)
+            ts, env_state = mesh_lib.place(self.mesh, ts, env_state)
         return ts, env_state
 
     def _select_obs(self, obs: Dict[str, jnp.ndarray]):
@@ -418,10 +430,17 @@ class PPO:
         return env_state, metrics, rew_curve
 
     def _eval_capture(self, ts: PPOTrainState, env_state):
-        """Eval with pose dumps / video frames (≙ ppo.py:160-193): slower
-        host-driven loop used only when save_pose/save_video is on."""
+        """Eval with pose dumps / video frames (≙ ppo.py:160-193).
+
+        Pose-only capture runs as a device-side scan (poses/state/action
+        stacked on device, ONE fetch for the episode — at 40 ms dispatch RTT
+        a host-driven loop costs ~10 s per 200-step eval before renders);
+        the video path stays host-driven since each frame is written to
+        disk anyway."""
         import numpy as np
         from ..utils import video as video_lib
+        if self.save_pose and not self.save_video:
+            return self._eval_capture_poses(ts, env_state)
         env_state, obs = self._jit_reset(env_state)
         o = self._select_obs(obs)
         if self.tricks["use_state_norm"]:
@@ -475,6 +494,46 @@ class PPO:
                 np.save(pjoin(pose_dir, f"{i}.npy"), d)
         if self.save_video:
             video_lib.path_to_video(video_dir)
+        return env_state
+
+    def _eval_capture_poses(self, ts: PPOTrainState, env_state):
+        """Device-side pose capture: whole episode as one jitted scan,
+        single host fetch (VERDICT r2 #10)."""
+        import numpy as np
+
+        def _episode(ts, env_state):
+            env_state, obs = self.env.reset(env_state)
+            o = self._select_obs(obs)
+            if self.tricks["use_state_norm"]:
+                o, _ = rms_lib.normalize(ts.rms, o, False)
+
+            def body(carry, _):
+                env_state, o = carry
+                actions = self.ac.act(ts.params, o)
+                out = dict(self.env.scene_pose(env_state))
+                out["state"] = o
+                out["action"] = actions
+                env_state, next_obs, rew, dones, extras = self.env.step(
+                    env_state, actions, train=False)
+                o = self._select_obs(next_obs)
+                if self.tricks["use_state_norm"]:
+                    o, _ = rms_lib.normalize(ts.rms, o, False)
+                return (env_state, o), out
+
+            (env_state, _), outs = jax.lax.scan(
+                body, (env_state, o), None, length=self.max_episode_length)
+            return env_state, outs, env_state.success
+
+        if not hasattr(self, "_jit_capture"):
+            self._jit_capture = self._with_mesh(jax.jit(_episode))
+        env_state, outs, success = self._jit_capture(ts, env_state)
+        outs, success = jax.device_get((outs, success))
+        pose_dir = pjoin(self.logger.save_pose_dir, f"Iter{self.curr_iter}")
+        os.makedirs(pose_dir, exist_ok=True)
+        for i in range(self.max_episode_length):
+            d = {k: np.asarray(v[i]) for k, v in outs.items()}
+            d["success"] = np.asarray(success)
+            np.save(pjoin(pose_dir, f"{i}.npy"), d)
         return env_state
 
     def eval(self, ts: PPOTrainState, env_state, mode="Val"):

@@ -76,8 +76,9 @@ class OpenDrawerEnv:
         # ---- objects: scan split dir, shuffle, load padded ----
         split = cfg["asset"]["splits"]
         n_obj = cfg["asset"].get("num_objects", 16)
-        dirs = assets.ensure_drawer_assets(cfg["asset"]["assetRoot"], split,
-                                           n_obj)
+        dirs = assets.ensure_drawer_assets(
+            cfg["asset"]["assetRoot"], split, n_obj,
+            mesh_handle=cfg["asset"].get("mesh_handle", False))
         pyrandom.shuffle(dirs)  # ≙ open_drawer.py:37
         objs = []
         max_links = max_dofs = max_boxes = 0

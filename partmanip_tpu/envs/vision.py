@@ -56,6 +56,7 @@ class VisionRig:
         # ground-truth volume grid for mesh_tsdf
         self.grid_points = jnp.asarray(self.tsdf_spec.world_points)
         self.sdf_trunc = self.tsdf_spec.sdf_trunc
+        self.coarse_to_fine = bool(cam_cfg.get("coarse_to_fine", True))
 
 
 def scene_prims(env, sim: engine.SceneState) -> raymarch.ScenePrims:
@@ -109,8 +110,13 @@ def render_obs(env, rig: VisionRig, sim: engine.SceneState) -> Dict:
         out[mode] = jnp.clip(d / rig.sdf_trunc, -1.0, 1.0)
         return out
 
+    # rendered-depth training path: the TPU kernel's coarse-to-fine
+    # pre-pass (quarter-res march seeds a short full-res refine) is ~2-3x
+    # faster at 98.5 % of pixels within 5 mm — right for training obs;
+    # parity tests compare the exact (non-c2f) marcher instead
     depth = raymarch.render_depth(prims, rig.poses, rig.intrinsic,
-                                  rig.im_h, rig.im_w)
+                                  rig.im_h, rig.im_w,
+                                  coarse_to_fine=rig.coarse_to_fine)
     if mode == "depth_tsdf":
         out[mode] = tsdf_lib.integrate(rig.tsdf_spec, depth).reshape(E, -1)
     elif mode == "depth_pc":

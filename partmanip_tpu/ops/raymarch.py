@@ -73,6 +73,7 @@ def render_depth(
     n_steps: int = 40,
     far: float = 100.0,
     eps: float = 1e-3,
+    coarse_to_fine: bool = False,
 ) -> jnp.ndarray:
     """Sphere-trace depth images [E, V, H, W] (positive z-depth).
 
@@ -84,7 +85,8 @@ def render_depth(
     if raymarch_tpu.supported(prims, im_h, im_w):
         return raymarch_tpu.render_depth_tpu(
             prims, np.asarray(cam_pose), np.asarray(intrinsic), im_h, im_w,
-            n_steps=n_steps, far=far, eps=eps)
+            n_steps=n_steps, far=far, eps=eps,
+            coarse_to_fine=coarse_to_fine)
     E = prims.sphere_center.shape[0]
     V = cam_pose.shape[0]
     fx, fy = intrinsic[0, 0], intrinsic[1, 1]

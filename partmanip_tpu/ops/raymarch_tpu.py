@@ -7,13 +7,19 @@ candidate tensors per march step (~50 primitive distances per ray per step ×
 everything in registers/VMEM:
 
 * rays are the vector lanes — one ``pallas_call`` instance marches an (8,128)
-  tile of 1024 *spatially coherent* rays (consecutive scanline order);
+  tile of 1024 rays taken from a **32×32 pixel block** (not a scanline
+  strip): a square block subtends a ~5° cone, so (a) the whole-tile
+  early-out triggers as soon as the locally-coherent block converges and
+  (b) primitives outside the block's view cone can be skipped entirely;
 * the scene primitives (robot spheres + object boxes + ground) live in SMEM
   as per-env scalars and are unrolled statically inside the march loop —
   no gathers, no HBM traffic per step;
-* the march is a ``lax.while_loop`` with a whole-tile early-out: a tile
-  returns as soon as every ray in it has converged or escaped, which
-  coherent tiles do in ~8-15 steps instead of the fixed 40.
+* **cone culling**: a per-(env, view, tile) visibility bitmask (computed as
+  a tiny XLA einsum before the call — sphere-vs-cone test against each
+  tile's bounding cone) gates every primitive's distance evaluation behind
+  a scalar ``lax.cond``, so tiles that see only background skip the whole
+  scene;
+* the march is a ``lax.while_loop`` with a whole-tile early-out.
 
 Output exactly matches :func:`raymarch.render_depth` (positive z-depth,
 ``far`` on miss) — parity-tested in ``tests/test_vision.py``.
@@ -32,16 +38,21 @@ from jax.experimental.pallas import tpu as pltpu
 R_SUB = 8
 LANE = 128
 TILE = R_SUB * LANE
+BLK = 32  # pixel block edge: BLK*BLK == TILE (square ray tiles)
 
 
 def _tile_rays(cam_pose: np.ndarray, intrinsic: np.ndarray,
                im_h: int, im_w: int):
-    """Precompute world ray dirs per view, padded to ray tiles.
+    """Precompute world ray dirs per view in 32×32-block tile order.
 
-    Returns (dirs [V, T, 3, R, C] f32, origins [V, 3] f32, n_rays).
-    Padding rays get a dummy (0,0,1) direction; their *start* t is set past
-    ``far`` by :func:`_tail_t0` so they are done on entry and never defeat
-    the whole-tile early-out of the final partial tile.
+    Returns a dict with:
+      dirs     [V, T, 3, R, C] f32 — world ray directions (padding → +z)
+      origins  [V, 3] f32
+      ray_pos  [H·W] i32 — tiled position of each row-major pixel
+      inv_pix  [T·TILE] i32 — pixel index per tiled slot (0 for padding)
+      pad      [T, R, C] bool — padding slots
+      axes     [V, T, 3] f32 — per-tile cone axis (unit)
+      cos_t    [V, T] f32 — cos of the tile cone half-angle
     """
     V = cam_pose.shape[0]
     fx, fy = intrinsic[0, 0], intrinsic[1, 1]
@@ -50,24 +61,91 @@ def _tile_rays(cam_pose: np.ndarray, intrinsic: np.ndarray,
     v = (np.arange(im_h) - cy) / fy
     uu, vv = np.meshgrid(u, v)
     dirs_cam = np.stack([uu, vv, np.ones_like(uu)], -1).reshape(-1, 3)
+
+    nbw = -(-im_w // BLK)
+    nbh = -(-im_h // BLK)
+    T = nbh * nbw
+    ii, jj = np.meshgrid(np.arange(im_h), np.arange(im_w), indexing="ij")
+    tile_of = (ii // BLK) * nbw + (jj // BLK)
+    off_in = (ii % BLK) * BLK + (jj % BLK)
+    ray_pos = (tile_of * TILE + off_in).reshape(-1)           # [H·W]
+
+    Npad = T * TILE
+    dirs_pad = np.tile(np.array([0.0, 0.0, 1.0]), (Npad, 1))
+    dirs_pad[ray_pos] = dirs_cam
+    pad = np.ones(Npad, bool)
+    pad[ray_pos] = False
+    inv_pix = np.zeros(Npad, np.int64)
+    inv_pix[ray_pos] = np.arange(im_h * im_w)
+
     R = cam_pose[:, :3, :3]
-    dirs_w = np.einsum("nc,vbc->vnb", dirs_cam, R)            # [V, N, 3]
-    N = im_h * im_w
-    T = -(-N // TILE)
-    pad = T * TILE - N
-    if pad:
-        fill = np.tile(np.array([0.0, 0.0, 1.0]), (V, pad, 1))
-        dirs_w = np.concatenate([dirs_w, fill], axis=1)
+    dirs_w = np.einsum("nc,vbc->vnb", dirs_pad, R)            # [V, Npad, 3]
+
+    # per-tile bounding cone over the real (non-padding) rays
+    dn = dirs_w / np.linalg.norm(dirs_w, axis=-1, keepdims=True)
+    dn_t = dn.reshape(V, T, TILE, 3)
+    valid = (~pad).reshape(T, TILE)
+    axes = np.empty((V, T, 3), np.float64)
+    cos_t = np.empty((V, T), np.float64)
+    for t in range(T):
+        m = valid[t]
+        sel = dn_t[:, t, m] if m.any() else dn_t[:, t]
+        ax = sel.mean(axis=1)
+        ax /= np.linalg.norm(ax, axis=-1, keepdims=True)
+        axes[:, t] = ax
+        cos_t[:, t] = np.einsum("vnc,vc->vn", sel, ax).min(axis=1)
+
     dirs_w = dirs_w.reshape(V, T, R_SUB, LANE, 3)
     dirs_w = np.moveaxis(dirs_w, -1, 2)                       # [V,T,3,R,C]
-    return (dirs_w.astype(np.float32),
-            cam_pose[:, :3, 3].astype(np.float32), N)
+    return {
+        "dirs": dirs_w.astype(np.float32),
+        "origins": cam_pose[:, :3, 3].astype(np.float32),
+        "ray_pos": ray_pos.astype(np.int64),
+        "inv_pix": inv_pix,
+        "pad": pad.reshape(T, R_SUB, LANE),
+        "axes": axes.astype(np.float32),
+        "cos_t": np.clip(cos_t, -1.0, 1.0).astype(np.float32),
+    }
 
 
-def _march_kernel(sph_ref, box_ref, org_ref, dirs_ref, t0_ref, out_ref, *,
-                  S: int, G: int, n_steps: int, far: float, eps: float,
-                  ground: bool):
-    """One (8,128) ray tile of one (env, view)."""
+def _prim_masks(sph, box, origins, axes, cos_t, far: float):
+    """Sphere-vs-cone visibility per (env, view, tile, prim) — the culling
+    bitmask consumed by the kernel's scalar conds.  Conservative: a prim is
+    kept when its bounding sphere touches the tile's bounding cone.
+
+    sph [E,S,4], box [E,G,11], origins [V,3], axes [V,T,3], cos_t [V,T]
+    → i32 [E, V, T, S+G]
+    """
+    centers = jnp.concatenate([sph[:, :, :3], box[:, :, :3]], axis=1)
+    r_sph = sph[:, :, 3]
+    r_box = jnp.linalg.norm(box[:, :, 7:10], axis=-1)
+    radius = jnp.concatenate([r_sph, r_box], axis=1)          # [E, P]
+    live = jnp.concatenate(
+        [jnp.ones_like(r_sph), box[:, :, 10]], axis=1)        # box_mask
+
+    sin_t = jnp.sqrt(jnp.maximum(1.0 - cos_t * cos_t, 0.0))
+    vec = (centers[:, None, None]
+           - origins[None, :, None, None])                    # [E,V,1,P,3]
+    a = jnp.einsum("evtpc,vtc->evtp", vec, axes)              # along axis
+    d2 = jnp.sum(vec * vec, axis=-1)
+    q = jnp.sqrt(jnp.maximum(d2 - a * a, 0.0))                # perp dist
+    r = radius[:, None, None]
+    # signed distance from the cone surface (standard cone-sphere test)
+    outside = (q * cos_t[None, :, :, None] - a * sin_t[None, :, :, None]) > r
+    behind = a < -r
+    too_far = (a - r) > far
+    contains_apex = d2 <= r * r       # always keep (cone test degenerates)
+    vis = ((jnp.logical_not(outside | behind | too_far) | contains_apex)
+           & (live[:, None, None] > 0))
+    return vis.astype(jnp.int32)
+
+
+def _march_kernel(sph_ref, box_ref, mask_ref, org_ref, dirs_ref, t0_ref,
+                  out_ref, *, S: int, G: int, n_steps: int, far: float,
+                  eps: float, ground: bool):
+    """One (8,128) ray tile of one (env, view).  Every primitive's distance
+    evaluation sits behind a scalar ``lax.cond`` on the cone-culling mask:
+    background tiles skip the entire scene."""
     dx = dirs_ref[0, 0, 0]
     dy = dirs_ref[0, 0, 1]
     dz = dirs_ref[0, 0, 2]
@@ -83,43 +161,48 @@ def _march_kernel(sph_ref, box_ref, org_ref, dirs_ref, t0_ref, out_ref, *,
         pz = oz + tz * dz
         dist = jnp.full_like(tz, 1e6)
         for s in range(S):
-            cx = sph_ref[0, s, 0]
-            cy = sph_ref[0, s, 1]
-            cz = sph_ref[0, s, 2]
-            r = sph_ref[0, s, 3]
-            rx, ry, rz = px - cx, py - cy, pz - cz
-            ds = jnp.sqrt(rx * rx + ry * ry + rz * rz) - r
-            dist = jnp.minimum(dist, ds)
+            def _sph(d, _s=s):
+                cx = sph_ref[0, _s, 0]
+                cy = sph_ref[0, _s, 1]
+                cz = sph_ref[0, _s, 2]
+                r = sph_ref[0, _s, 3]
+                rx, ry, rz = px - cx, py - cy, pz - cz
+                ds = jnp.sqrt(rx * rx + ry * ry + rz * rz) - r
+                return jnp.minimum(d, ds)
+            dist = jax.lax.cond(mask_ref[0, 0, 0, s] > 0, _sph,
+                                lambda d: d, dist)
         for g in range(G):
-            bx = box_ref[0, g, 0]
-            by = box_ref[0, g, 1]
-            bz = box_ref[0, g, 2]
-            qx = box_ref[0, g, 3]
-            qy = box_ref[0, g, 4]
-            qz = box_ref[0, g, 5]
-            qw = box_ref[0, g, 6]
-            hx = box_ref[0, g, 7]
-            hy = box_ref[0, g, 8]
-            hz = box_ref[0, g, 9]
-            mask = box_ref[0, g, 10]
-            rx, ry, rz = px - bx, py - by, pz - bz
-            # conjugate-quat rotation (scalar quat × tile vec)
-            tx = 2.0 * (-qy * rz + qz * ry)
-            ty = 2.0 * (-qz * rx + qx * rz)
-            tz2 = 2.0 * (-qx * ry + qy * rx)
-            lx = rx + qw * tx + (-qy * tz2 + qz * ty)
-            ly = ry + qw * ty + (-qz * tx + qx * tz2)
-            lz = rz + qw * tz2 + (-qx * ty + qy * tx)
-            ax = jnp.abs(lx) - hx
-            ay = jnp.abs(ly) - hy
-            az = jnp.abs(lz) - hz
-            px_o = jnp.maximum(ax, 0.0)
-            py_o = jnp.maximum(ay, 0.0)
-            pz_o = jnp.maximum(az, 0.0)
-            d_out = jnp.sqrt(px_o * px_o + py_o * py_o + pz_o * pz_o)
-            d_in = jnp.minimum(jnp.maximum(jnp.maximum(ax, ay), az), 0.0)
-            db = d_out + d_in + (1.0 - mask) * 1e6
-            dist = jnp.minimum(dist, db)
+            def _box(d, _g=g):
+                bx = box_ref[0, _g, 0]
+                by = box_ref[0, _g, 1]
+                bz = box_ref[0, _g, 2]
+                qx = box_ref[0, _g, 3]
+                qy = box_ref[0, _g, 4]
+                qz = box_ref[0, _g, 5]
+                qw = box_ref[0, _g, 6]
+                hx = box_ref[0, _g, 7]
+                hy = box_ref[0, _g, 8]
+                hz = box_ref[0, _g, 9]
+                rx, ry, rz = px - bx, py - by, pz - bz
+                # conjugate-quat rotation (scalar quat × tile vec)
+                tx = 2.0 * (-qy * rz + qz * ry)
+                ty = 2.0 * (-qz * rx + qx * rz)
+                tz2 = 2.0 * (-qx * ry + qy * rx)
+                lx = rx + qw * tx + (-qy * tz2 + qz * ty)
+                ly = ry + qw * ty + (-qz * tx + qx * tz2)
+                lz = rz + qw * tz2 + (-qx * ty + qy * tx)
+                ax = jnp.abs(lx) - hx
+                ay = jnp.abs(ly) - hy
+                az = jnp.abs(lz) - hz
+                px_o = jnp.maximum(ax, 0.0)
+                py_o = jnp.maximum(ay, 0.0)
+                pz_o = jnp.maximum(az, 0.0)
+                d_out = jnp.sqrt(px_o * px_o + py_o * py_o + pz_o * pz_o)
+                d_in = jnp.minimum(jnp.maximum(jnp.maximum(ax, ay), az), 0.0)
+                return jnp.minimum(d, d_out + d_in)
+            # box_mask==0 prims are already dropped from the cull mask
+            dist = jax.lax.cond(mask_ref[0, 0, 0, S + g] > 0, _box,
+                                lambda d: d, dist)
         if ground:
             dist = jnp.minimum(dist, pz)
         return dist
@@ -147,11 +230,12 @@ def _march_kernel(sph_ref, box_ref, org_ref, dirs_ref, t0_ref, out_ref, *,
     jax.jit,
     static_argnames=("im_h", "im_w", "n_steps", "far", "eps", "ground",
                      "interpret"))
-def _render_tpu(sph, box, dirs, origins, t0, *, im_h, im_w, n_steps, far,
-                eps, ground, interpret=False):
+def _render_tpu(sph, box, masks, dirs, origins, t0, ray_pos, *, im_h, im_w,
+                n_steps, far, eps, ground, interpret=False):
     E, S = sph.shape[:2]
     G = box.shape[1]
     V, T = dirs.shape[:2]
+    P = masks.shape[-1]
     kern = functools.partial(_march_kernel, S=S, G=G, n_steps=n_steps,
                              far=far, eps=eps, ground=ground)
     out = pl.pallas_call(
@@ -161,6 +245,8 @@ def _render_tpu(sph, box, dirs, origins, t0, *, im_h, im_w, n_steps, far,
             pl.BlockSpec((1, S, 4), lambda e, v, t: (e, 0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, G, 11), lambda e, v, t: (e, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, 1, P), lambda e, v, t: (e, v, t, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((V, 3), lambda e, v, t: (0, 0),
                          memory_space=pltpu.SMEM),
@@ -173,34 +259,34 @@ def _render_tpu(sph, box, dirs, origins, t0, *, im_h, im_w, n_steps, far,
                                lambda e, v, t: (e, v, t, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((E, V, T, R_SUB, LANE), jnp.float32),
         interpret=interpret,
-    )(sph, box, origins, dirs, t0)
-    N = im_h * im_w
-    return out.reshape(E, V, T * TILE)[:, :, :N].reshape(E, V, im_h, im_w)
+    )(sph, box, masks, origins, dirs, t0)
+    # un-permute the block tiling back to row-major pixels
+    return jnp.take(out.reshape(E, V, T * TILE), ray_pos,
+                    axis=-1).reshape(E, V, im_h, im_w)
 
 
-def _pack_t0(t0_img, im_h, im_w):
-    """[E, V, H, W] per-ray initial t → tiled [E, V, T, R, C] (pads 0.05)."""
+def _pack_t0(t0_img, rays, far: float):
+    """[E, V, H, W] per-ray initial t → tiled [E, V, T, R, C]; padding
+    slots start beyond ``far`` so they are done on entry and never defeat
+    the whole-tile early-out."""
     E, V = t0_img.shape[:2]
-    N = im_h * im_w
-    T = -(-N // TILE)
-    flat = t0_img.reshape(E, V, N)
-    pad = T * TILE - N
-    if pad:
-        flat = jnp.concatenate(
-            [flat, jnp.full((E, V, pad), 0.05, flat.dtype)], axis=-1)
-    return flat.reshape(E, V, T, R_SUB, LANE)
+    pad = rays["pad"]
+    T = pad.shape[0]
+    flat = t0_img.reshape(E, V, -1)
+    tiled = jnp.take(flat, jnp.asarray(rays["inv_pix"]), axis=-1)
+    tiled = jnp.where(jnp.asarray(pad.reshape(-1))[None, None],
+                      jnp.float32(far * 1.05), tiled)
+    return tiled.reshape(E, V, T, R_SUB, LANE)
 
 
-def _tail_t0(t0, n_rays: int, far: float):
-    """Start padding rays (flat index ≥ n_rays) beyond ``far`` so they are
-    done on entry — otherwise they sphere-trace to ``far`` and defeat the
-    whole-tile early-out of the final partial tile on every call."""
-    T = t0.shape[2]
-    if T * TILE == n_rays:
-        return t0
-    idx = np.arange(T * TILE).reshape(T, R_SUB, LANE)
-    return jnp.where(jnp.asarray(idx >= n_rays)[None, None],
-                     jnp.float32(far * 1.05), t0)
+def _flat_t0(E: int, rays, far: float):
+    """Constant 0.05 start, padding beyond ``far``."""
+    pad = rays["pad"]
+    T = pad.shape[0]
+    V = rays["dirs"].shape[0]
+    t0 = jnp.where(jnp.asarray(pad)[None, None], jnp.float32(far * 1.05),
+                   jnp.float32(0.05))
+    return jnp.broadcast_to(t0, (E, V, T, R_SUB, LANE))
 
 
 _RAY_CACHE: dict = {}
@@ -226,7 +312,7 @@ def render_depth_tpu(prims, cam_pose: np.ndarray, intrinsic: np.ndarray,
         [prims.box_pos, prims.box_quat, prims.box_half,
          prims.box_mask[..., None]], axis=-1).astype(jnp.float32)
 
-    def rays(h, w, intr):
+    def rays_for(h, w, intr):
         key = (cam_pose.tobytes(), intr.tobytes(), h, w)
         hit = _RAY_CACHE.get(key)
         if hit is None:
@@ -234,19 +320,23 @@ def render_depth_tpu(prims, cam_pose: np.ndarray, intrinsic: np.ndarray,
             _RAY_CACHE[key] = hit
         return hit
 
+    def call(rays, t0, h, w, steps):
+        masks = _prim_masks(sph, box, jnp.asarray(rays["origins"]),
+                            jnp.asarray(rays["axes"]),
+                            jnp.asarray(rays["cos_t"]), far)
+        return _render_tpu(
+            sph, box, masks, jnp.asarray(rays["dirs"]),
+            jnp.asarray(rays["origins"]), t0,
+            jnp.asarray(rays["ray_pos"]), im_h=h, im_w=w, n_steps=steps,
+            far=far, eps=eps, ground=bool(prims.ground),
+            interpret=interpret)
+
     if coarse_to_fine and im_h % 4 == 0 and im_w % 4 == 0:
         hc, wc = im_h // 4, im_w // 4
         intr_c = np.asarray(intrinsic, np.float64).copy()
         intr_c[:2] /= 4.0
-        dirs_c, origins_np, n_rays_c = rays(hc, wc, intr_c.astype(np.float32))
-        V = dirs_c.shape[0]
-        t0c = _tail_t0(
-            jnp.full((E, V, -(-hc * wc // TILE), R_SUB, LANE), 0.05,
-                     jnp.float32), n_rays_c, far)
-        d_c = _render_tpu(
-            sph, box, jnp.asarray(dirs_c), jnp.asarray(origins_np), t0c,
-            im_h=hc, im_w=wc, n_steps=n_steps, far=far, eps=eps,
-            ground=bool(prims.ground), interpret=interpret)
+        rays_c = rays_for(hc, wc, intr_c.astype(np.float32))
+        d_c = call(rays_c, _flat_t0(E, rays_c, far), hc, wc, n_steps)
         # conservative start: 3×3 neighborhood min of the coarse t, minus a
         # relative + absolute margin, clipped at the cone start
         import jax.lax as lax
@@ -254,21 +344,11 @@ def render_depth_tpu(prims, cam_pose: np.ndarray, intrinsic: np.ndarray,
                                   (1, 1, 3, 3), (1, 1, 1, 1), "SAME")
         t0_img = jnp.clip(dmin * 0.9 - 0.05, 0.05, far)
         t0_full = jnp.repeat(jnp.repeat(t0_img, 4, axis=2), 4, axis=3)
-        dirs_np, origins_np, n_rays = rays(im_h, im_w, np.asarray(intrinsic))
-        t0 = _tail_t0(_pack_t0(t0_full, im_h, im_w), n_rays, far)
-        return _render_tpu(
-            sph, box, jnp.asarray(dirs_np), jnp.asarray(origins_np), t0,
-            im_h=im_h, im_w=im_w, n_steps=16, far=far, eps=eps,
-            ground=bool(prims.ground), interpret=interpret)
+        rays = rays_for(im_h, im_w, np.asarray(intrinsic))
+        return call(rays, _pack_t0(t0_full, rays, far), im_h, im_w, 16)
 
-    dirs_np, origins_np, n_rays = rays(im_h, im_w, np.asarray(intrinsic))
-    V, T = dirs_np.shape[:2]
-    t0 = _tail_t0(jnp.full((E, V, T, R_SUB, LANE), 0.05, jnp.float32),
-                  n_rays, far)
-    return _render_tpu(
-        sph, box, jnp.asarray(dirs_np), jnp.asarray(origins_np), t0,
-        im_h=im_h, im_w=im_w, n_steps=n_steps, far=far, eps=eps,
-        ground=bool(prims.ground), interpret=interpret)
+    rays = rays_for(im_h, im_w, np.asarray(intrinsic))
+    return call(rays, _flat_t0(E, rays, far), im_h, im_w, n_steps)
 
 
 def supported(prims, im_h: int, im_w: int) -> bool:
