@@ -102,6 +102,19 @@ class OpenDrawerEnv:
         self.obj_spec_full = obj_spec
         gather = lambda arr: np.asarray(arr)[obj_ids]
         obj_spec_env = jax.tree.map(gather, obj_spec)
+        # The reference overrides every object dof's drive properties at
+        # load time — stiffness 0, damping 20, friction 5, DOF_MODE_NONE
+        # (open_drawer.py:162-167) — so asset URDF values are ignored there.
+        # Do the same; null in the cfg keeps the URDF values (randomized-
+        # dynamics experiments).
+        dmp = cfg["asset"].get("objDofDamping", 20.0)
+        frc = cfg["asset"].get("objDofFriction", 5.0)
+        if dmp is not None:
+            obj_spec_env = obj_spec_env._replace(dof_damping=np.full_like(
+                np.asarray(obj_spec_env.dof_damping), dmp))
+        if frc is not None:
+            obj_spec_env = obj_spec_env._replace(dof_friction=np.full_like(
+                np.asarray(obj_spec_env.dof_friction), frc))
         boxes = BoxGeoms(
             link_idx=np.stack([o.boxes_link_idx for o in objs])[obj_ids],
             offset_pos=np.stack([o.boxes_pos for o in objs])[obj_ids],

@@ -43,8 +43,16 @@ def main():
                          "vs commanded motion per 20-step leg")
     ap.add_argument("--probe_orn", action="store_true",
                     help="probe legs also command the grasp orientation")
+    ap.add_argument("--fric", type=float, default=None,
+                    help="override ALL object joint friction (reference "
+                         "fixes 5.0 for every drawer dof, open_drawer.py:165)")
+    ap.add_argument("--damp", type=float, default=None,
+                    help="override ALL object joint damping (reference: 20)")
     args = ap.parse_args()
 
+    import random as pyrandom
+    pyrandom.seed(0)          # env→variant shuffle (open_drawer.py:82)
+    np.random.seed(0)
     cfg, sim_params = process_cfgs(argv=[
         "--taskcfg", "open_drawer", "--algocfg", "ppo",
         "--algo.num_envs", str(args.envs),
@@ -52,6 +60,16 @@ def main():
     tcfg = cfg["task"]
     tcfg["random_reset"] = False
     env = OpenDrawerEnv(tcfg, sim_params)
+    if args.fric is not None or args.damp is not None:
+        ot = env.scene.obj_tree
+        if args.fric is not None:
+            ot = ot._replace(dof_friction=np.full_like(
+                np.asarray(ot.dof_friction), args.fric))
+        if args.damp is not None:
+            ot = ot._replace(dof_damping=np.full_like(
+                np.asarray(ot.dof_damping), args.damp))
+        env.scene = env.scene._replace(obj_tree=ot)
+        print(f"override obj dof friction={args.fric} damping={args.damp}")
 
     state = env.init_state(jax.random.PRNGKey(0))
     state, obs = env.reset(state)
@@ -129,8 +147,13 @@ def main():
                   f"arm_spd={np.round(arm_spd, 2).tolist()}")
         return
 
+    print("handle ext (out,long,short ~ x,?,?):", np.round(ext, 3).tolist())
+    print("bar_vertical:", bar_vertical.tolist(),
+          "travel:", np.round(upper, 3).tolist())
+
     phase = np.zeros(E, np.int32)  # 0 pre, 1 approach, 2 close, 3 pull
     close_timer = np.zeros(E, np.int32)
+    appr_timer = np.zeros(E, np.int32)
     for t in range(args.steps):
         view = views(state)
         tip = np.asarray(view.tip_pos)
@@ -149,7 +172,12 @@ def main():
                     phase[e] = 1
             elif phase[e] == 1:
                 tgt = handle[e]
-                if np.linalg.norm(tip[e] - tgt) < 0.008:
+                appr_timer[e] += 1
+                # close when centered — or when jammed close enough that a
+                # squeeze would still catch the bar (RL closes there too)
+                if (np.linalg.norm(tip[e] - tgt) < 0.008
+                        or (appr_timer[e] > 60
+                            and np.linalg.norm(tip[e] - tgt) < 0.025)):
                     phase[e] = 2
             elif phase[e] == 2:
                 tgt = handle[e]
@@ -160,6 +188,18 @@ def main():
                 tgt = handle[e] + 0.08 * axis_dir[e]  # keep leading the pull
             err = tgt - tip[e]
             act[e, off:off + 3] = np.clip(err / 0.005, -1, 1)
+            if off:
+                # walk the mobile base toward the work too — without it the
+                # arm IK deadlocks at the workspace boundary (DLS damps to
+                # zero at full extension; handles at x≈-0.43 from base x=0.4
+                # are at the reach limit).  The controller subtracts the
+                # commanded base delta from the IK residual, so commanding
+                # both splits the motion naturally (control.py:130-133).
+                # Net frame: control rotates the action by Rᵀ into base
+                # joint space and FK maps joint offsets back through R, so
+                # the commanded action IS the world-frame delta (verified
+                # empirically: pre-rotating drives the base away).
+                act[e, :3] = np.clip(err / 0.005, -1, 1)
             oerr = np.asarray(rot.orientation_error(
                 jnp.asarray(grasp_q[e:e + 1]),
                 jnp.asarray(tipq[e:e + 1])))[0]

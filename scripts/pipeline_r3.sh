@@ -1,0 +1,70 @@
+#!/bin/bash
+# Round-3 training pipeline (single tunneled TPU chip, run stages in order).
+# Stage selection: scripts/pipeline_r3.sh <stage>
+#   expert   — drawer PPO expert @4096, fixed reference dynamics (20/5)
+#   evals    — split sweep of the expert's checkpoints
+#   ceiling  — DAgger normal_state student (loop-proof: should ≈ teacher)
+#   demos    — collect expert demos for BC pretrain
+#   student  — mesh_tsdf DAgger student (BC-pretrained)
+#   cube     — grasp_cube PPO (state-norm; no-norm measured non-converging)
+#
+# NB the box can reset between sessions (logs/ is wiped) — every stage
+# re-runnable; ckpts save every 2000 iters for --resume recovery.
+set -e
+cd "$(dirname "$0")/.."
+export JAX_COMPILATION_CACHE_DIR=${JAX_COMPILATION_CACHE_DIR:-/tmp/jax_cache}
+
+EXP=expert_r3c_seed389
+CKPT=logs/ckpts/open_drawer_ppo/${EXP}
+
+case "${1:?stage}" in
+expert)
+  python train.py --taskcfg open_drawer --algocfg ppo \
+    --exp_name ${EXP} \
+    --algo.num_envs 4096 \
+    --algo.tricks.use_state_norm \
+    --algo.max_iterations 30000 \
+    --algo.save_frequence 2000 \
+    --algo.save_teacher_reward \
+    ${RESUME:+--resume ${RESUME}}
+  ;;
+evals)
+  scripts/test.sh open_drawer_ppo ${EXP} open_drawer \
+    "train valIntra valInter" "${ITERS:-10000 20000 30000}"
+  ;;
+ceiling)
+  python train.py --taskcfg open_drawer --algocfg dagger \
+    --exp_name ceiling_r3_seed17 \
+    --algo.obs_mode normal_state \
+    --algo.model.network.name MLP \
+    --algo.num_envs 1024 \
+    --algo.buf_size 64 \
+    --algo.minibatch_cap 2048 \
+    --algo.max_iterations 3000 \
+    --algo.teacher ${CKPT}/model_${TEA_ITER:-30000}.ckpt
+  ;;
+demos)
+  python tools/collect_demos.py \
+    --teacher ${CKPT}/model_${TEA_ITER:-30000}.ckpt \
+    --out logs/demos/open_drawer_r3 "${@:2}"
+  ;;
+student)
+  python train.py --taskcfg open_drawer --algocfg dagger \
+    --exp_name student_r3_seed23 \
+    --algo.num_envs 16 \
+    --algo.max_iterations 10000 \
+    --algo.teacher ${CKPT}/model_${TEA_ITER:-30000}.ckpt \
+    --algo.teacher_reward ${CKPT}/teacher_reward.npy \
+    ${OFFLINE:+--algo.offline_data_pth ${OFFLINE}} \
+    ${RESUME:+--resume ${RESUME}}
+  ;;
+cube)
+  python train.py --taskcfg grasp_cube --algocfg ppo \
+    --exp_name cube_r3_seed101 \
+    --algo.num_envs 4096 \
+    --algo.max_iterations 30000 \
+    --algo.save_frequence 2000 \
+    ${RESUME:+--resume ${RESUME}}
+  ;;
+*) echo "unknown stage $1" >&2; exit 2 ;;
+esac

@@ -111,6 +111,13 @@ class TestMeshHandleAsset:
 
         env, sp = _mesh_env()
         E = env.num_envs
+        # This test measures contact *coupling*, not drive-through-friction:
+        # the env now fixes drawer-dof friction 5 / damping 20 (reference
+        # load-time override), which would swallow the gentle pad touch.
+        ot = env.scene.obj_tree
+        env.scene = env.scene._replace(obj_tree=ot._replace(
+            dof_friction=jnp.zeros_like(jnp.asarray(ot.dof_friction)),
+            dof_damping=jnp.ones_like(jnp.asarray(ot.dof_damping))))
         state = env.init_state(jax.random.PRNGKey(0))
         sim = state.sim
 
@@ -126,7 +133,17 @@ class TestMeshHandleAsset:
         mid_local = 0.5 * (bbox0[:, 0] + bbox0[:, 6])
         rq = np.asarray(sim.obj.root_quat)
         R = np.asarray(rot.quat_to_mat(jnp.asarray(rq)))
-        root_pos = pad_pos - np.einsum("eab,eb->ea", R, mid_local)
+        # hook the pad just behind the bar's BACK face (local +x, toward the
+        # panel): the SDF gradient there is along the drawer axis, so the
+        # reaction PULLS the prismatic dof open.  At the bar CENTER the
+        # gradient points along the short axis (medial surface) and the dof
+        # feels ~nothing for thin bars; at the front face the push is into
+        # the closed joint limit, which clamps qvel to 0.
+        ho = 0.5 * (bbox0[:, :, 0].max(1) - bbox0[:, :, 0].min(1))  # [E]
+        r = float(np.asarray(env.spheres.radius)[pad])
+        off = np.zeros_like(mid_local)
+        off[:, 0] = ho + 0.2 * r           # sphere overlaps face by 0.8 r
+        root_pos = pad_pos - np.einsum("eab,eb->ea", R, mid_local + off)
 
         sim_touch = sim._replace(obj=sim.obj._replace(
             root_pos=jnp.asarray(root_pos)))
