@@ -58,10 +58,29 @@ student)
     ${OFFLINE:+--algo.offline_data_pth ${OFFLINE}} \
     ${RESUME:+--resume ${RESUME}}
   ;;
+depth_student)
+  # rendered-depth sensor path (VERDICT r2 #7): depth cameras -> on-device
+  # TSDF fusion -> Conv3D student.  Short run: the deliverable is a
+  # committed learning curve proving the full pipeline trains end-to-end.
+  python train.py --taskcfg open_drawer --algocfg dagger \
+    --exp_name depth_student_r3_seed5 \
+    --algo.obs_mode depth_tsdf \
+    --algo.num_envs 16 \
+    --algo.buf_size 600 \
+    --algo.max_iterations ${ITERS:-2000} \
+    --algo.eval_frequence 500 \
+    --algo.save_frequence 500 \
+    --algo.teacher ${CKPT}/model_${TEA_ITER:-30000}.ckpt \
+    ${OFFLINE:+--algo.offline_data_pth ${OFFLINE}} \
+    ${RESUME:+--resume ${RESUME}}
+  ;;
 cube)
+  # state-norm required: no-norm cube PPO measured non-converging (r2);
+  # state-norm teachers distill fine now (teacher RMS baked into labeling)
   python train.py --taskcfg grasp_cube --algocfg ppo \
     --exp_name cube_r3_seed101 \
     --algo.num_envs 4096 \
+    --algo.tricks.use_state_norm \
     --algo.max_iterations 30000 \
     --algo.save_frequence 2000 \
     ${RESUME:+--resume ${RESUME}}
