@@ -29,6 +29,9 @@ expert)
     ${RESUME:+--resume ${RESUME}}
   ;;
 evals)
+  # EXTRA flips use_state_norm (yaml default True) to match the no-norm
+  # expert ckpt — bool flags flip the default, they don't set True.
+  EXTRA="--algo.tricks.use_state_norm" \
   scripts/test.sh open_drawer_ppo ${EXP} open_drawer \
     "train valIntra valInter" "${ITERS:-10000 20000 30000}"
   ;;
@@ -76,11 +79,10 @@ depth_student)
   ;;
 cube)
   # state-norm required: no-norm cube PPO measured non-converging (r2);
-  # state-norm teachers distill fine now (teacher RMS baked into labeling)
+  # it is the yaml DEFAULT (True) — passing the bool flag would FLIP it off.
   python train.py --taskcfg grasp_cube --algocfg ppo \
     --exp_name cube_r3_seed101 \
     --algo.num_envs 4096 \
-    --algo.tricks.use_state_norm \
     --algo.max_iterations 30000 \
     --algo.save_frequence 2000 \
     ${RESUME:+--resume ${RESUME}}

@@ -18,12 +18,15 @@ if [ -z "$ITERS" ]; then
   ITERS=$(ls "$CKPT_DIR" | sed -n 's/model_\([0-9]*\).ckpt/\1/p' | sort -n)
 fi
 
+# EXTRA: additional train.py flags (e.g. EXTRA="--algo.tricks.use_state_norm"
+# to FLIP the yaml default and match a no-norm checkpoint — bool flags flip).
 for it in $ITERS; do
   for split in $SPLITS; do
     echo "=== eval iter $it split $split ==="
     python train.py --taskcfg "$TASK" --test_only \
       --exp_name "$RUN" \
       --task.asset.splits "$split" \
+      ${EXTRA:-} \
       --resume "${CKPT_DIR}/model_${it}.ckpt"
   done
 done
