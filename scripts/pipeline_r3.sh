@@ -49,15 +49,25 @@ ceiling)
 demos)
   python tools/collect_demos.py \
     --teacher ${CKPT}/model_${TEA_ITER:-30000}.ckpt \
+    --only_success --episodes ${EPISODES:-8} \
     --out logs/demos/open_drawer_r3 "${@:2}"
   ;;
+bc)
+  # BC-pretrain on the collected demos (reference recipe: BC init -> DAgger)
+  python train.py --taskcfg open_drawer --algocfg bc \
+    --exp_name bc_r3_seed11 \
+    --algo.data_path logs/demos/open_drawer_r3 \
+    --algo.max_iterations ${ITERS:-1000}
+  ;;
 student)
+  # PRETRAIN: BC ckpt path (stage bc); OFFLINE: demo dir (stage demos).
+  # teacher_reward intentionally unset: classic resets measured 2x better.
   python train.py --taskcfg open_drawer --algocfg dagger \
     --exp_name student_r3_seed23 \
     --algo.num_envs 16 \
     --algo.max_iterations 10000 \
     --algo.teacher ${CKPT}/model_${TEA_ITER:-30000}.ckpt \
-    --algo.teacher_reward ${CKPT}/teacher_reward.npy \
+    ${PRETRAIN:+--pretrain ${PRETRAIN}} \
     ${OFFLINE:+--algo.offline_data_pth ${OFFLINE}} \
     ${RESUME:+--resume ${RESUME}}
   ;;
