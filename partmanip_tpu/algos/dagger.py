@@ -414,6 +414,13 @@ class DAgger:
             ts = self.load_pretrain(ts, self.cfg.get("pretrain"))
         if self.offline_data_pth:
             ts = self.load_offline(ts, self.offline_data_pth)
+        # The tunneled TPU backend refuses to donate host-staged buffers
+        # (INVALID_ARGUMENT at dispatch, and the error poisons the whole
+        # client): round-trip the state through a jitted identity so every
+        # leaf is a compiled-executable output with a device-native layout
+        # before the donated iteration is allowed to consume it.  Covers
+        # init_state, resume, pretrain, and offline-ingest paths at once.
+        ts, env_state = jax.jit(lambda a, b: (a, b))(ts, env_state)
 
         if self.test_only:
             env_state, log = self.eval(ts, env_state, mode="Test")
