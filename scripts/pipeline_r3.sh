@@ -16,6 +16,11 @@ export JAX_COMPILATION_CACHE_DIR=${JAX_COMPILATION_CACHE_DIR:-/tmp/jax_cache}
 
 EXP=expert_r3c_seed389
 CKPT=logs/ckpts/open_drawer_ppo/${EXP}
+# logs/ is wiped on box reset; fall back to git-persisted ckpts
+# (scripts/persist_ckpt.sh → artifacts/) for the teacher-consuming stages.
+if [ ! -d "${CKPT}" ] && [ -d "artifacts/open_drawer_ppo/${EXP}" ]; then
+  CKPT=artifacts/open_drawer_ppo/${EXP}
+fi
 
 case "${1:?stage}" in
 expert)
