@@ -17,6 +17,7 @@ cp "${SRC}/model_${ITER}.ckpt" "${DST}/"
 [ -f "${SRC}/teacher_reward.npy" ] && cp "${SRC}/teacher_reward.npy" "${DST}/"
 du -sh "${DST}"
 git add "${DST}"
+# Pathspec keeps unrelated staged changes out of the persistence commit.
 git commit -m "${3:-Persist ${RUN} ckpt @${ITER} (survives box reset)}
 
-No-Verification-Needed: binary artifact persistence only"
+No-Verification-Needed: binary artifact persistence only" -- "${DST}"

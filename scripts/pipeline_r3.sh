@@ -22,6 +22,31 @@ if [ ! -d "${CKPT}" ] && [ -d "artifacts/open_drawer_ppo/${EXP}" ]; then
   CKPT=artifacts/open_drawer_ppo/${EXP}
 fi
 
+# Resolve the teacher ckpt per-FILE (a partially repopulated logs/ must not
+# mask artifacts/ when only artifacts holds the requested iter), defaulting
+# TEA_ITER to the highest iteration present across both dirs.
+resolve_teacher() {
+  local dirs=("logs/ckpts/open_drawer_ppo/${EXP}" "artifacts/open_drawer_ppo/${EXP}")
+  local d f it best="" best_it=-1
+  if [ -n "${TEA_ITER:-}" ]; then
+    for d in "${dirs[@]}"; do
+      if [ -f "${d}/model_${TEA_ITER}.ckpt" ]; then
+        echo "${d}/model_${TEA_ITER}.ckpt"; return
+      fi
+    done
+    echo "teacher model_${TEA_ITER}.ckpt not found in ${dirs[*]}" >&2; exit 3
+  fi
+  for d in "${dirs[@]}"; do
+    for f in "${d}"/model_*.ckpt; do
+      [ -f "$f" ] || continue
+      it=$(basename "$f" .ckpt); it=${it#model_}
+      if [ "$it" -gt "$best_it" ]; then best_it=$it; best=$f; fi
+    done
+  done
+  [ -n "$best" ] || { echo "no teacher ckpt found in ${dirs[*]}" >&2; exit 3; }
+  echo "$best"
+}
+
 case "${1:?stage}" in
 expert)
   python train.py --taskcfg open_drawer --algocfg ppo \
@@ -49,11 +74,11 @@ ceiling)
     --algo.buf_size 64 \
     --algo.minibatch_cap 2048 \
     --algo.max_iterations 3000 \
-    --algo.teacher ${CKPT}/model_${TEA_ITER:-30000}.ckpt
+    --algo.teacher "$(resolve_teacher)"
   ;;
 demos)
   python tools/collect_demos.py \
-    --teacher ${CKPT}/model_${TEA_ITER:-30000}.ckpt \
+    --teacher "$(resolve_teacher)" \
     --only_success --episodes ${EPISODES:-8} \
     --out logs/demos/open_drawer_r3 "${@:2}"
   ;;
@@ -71,7 +96,7 @@ student)
     --exp_name student_r3_seed23 \
     --algo.num_envs 16 \
     --algo.max_iterations 10000 \
-    --algo.teacher ${CKPT}/model_${TEA_ITER:-30000}.ckpt \
+    --algo.teacher "$(resolve_teacher)" \
     ${PRETRAIN:+--pretrain ${PRETRAIN}} \
     ${OFFLINE:+--algo.offline_data_pth ${OFFLINE}} \
     ${RESUME:+--resume ${RESUME}}
@@ -88,7 +113,7 @@ depth_student)
     --algo.max_iterations ${ITERS:-2000} \
     --algo.eval_frequence 500 \
     --algo.save_frequence 500 \
-    --algo.teacher ${CKPT}/model_${TEA_ITER:-30000}.ckpt \
+    --algo.teacher "$(resolve_teacher)" \
     ${OFFLINE:+--algo.offline_data_pth ${OFFLINE}} \
     ${RESUME:+--resume ${RESUME}}
   ;;

@@ -17,11 +17,11 @@ import os
 
 DEFAULT_TAGS = [
     "Train/succ_rate_mean", "Train/succ_rate_max",
-    "Eval/succ_rate_mean", "Eval/succ_rate_max",
+    "Val/succ_rate_mean", "Val/succ_rate_max",
     "Test/succ_rate_mean", "Test/succ_rate_max",
     "Train/is_reached_max", "Train/is_grasped_max",
     "Test/is_reached_max", "Test/is_grasped_max",
-    "Train/reward_mean", "Loss/student",
+    "Train/reward_mean", "Train/dagger_loss",
 ]
 
 
@@ -43,9 +43,9 @@ def main():
 
     run_dir = args.run_dir
     if not glob.glob(os.path.join(run_dir, "events.out.tfevents.*")):
-        sub = sorted(glob.glob(os.path.join(run_dir, "*", "")))
+        sub = glob.glob(os.path.join(run_dir, "*", ""))
         if sub:
-            run_dir = sub[-1]
+            run_dir = max(sub, key=os.path.getmtime)
     acc = load_scalars(run_dir)
     avail = set(acc.Tags().get("scalars", []))
     tags = args.tags or [t for t in DEFAULT_TAGS if t in avail]
@@ -57,6 +57,9 @@ def main():
             print(f"{tag}: (absent)")
             continue
         ev = acc.Scalars(tag)
+        if not ev:
+            print(f"{tag}: n=0")
+            continue
         mx = max(ev, key=lambda e: e.value)
         tail = ev[-args.tail:]
         tail_s = " ".join(f"{e.step}:{e.value:.4g}" for e in tail)
