@@ -32,9 +32,18 @@ def get_activation(name: str) -> Callable:
     }[name]
 
 
-def _dense(features, gain):
+def _dense(features, gain, dtype=None):
     return nn.Dense(features, kernel_init=nn.initializers.orthogonal(gain),
-                    bias_init=nn.initializers.zeros)
+                    bias_init=nn.initializers.zeros, dtype=dtype)
+
+
+def _compute_dtype(net_cfg: dict, default: str = "bf16"):
+    """MXU compute dtype for the dense stack.  ``bf16`` (default for MLP)
+    runs the matmuls on the bf16 systolic path (~4× the f32 matmul rate on
+    v5e) while parameters/optimizer state stay f32 — grads are computed
+    against the f32 params, only the contraction is low-precision.
+    ``--algo.model.network.dtype f32`` restores exact f32 numerics."""
+    return {"bf16": jnp.bfloat16, "f32": None}[net_cfg.get("dtype", default)]
 
 
 class MLP(nn.Module):
@@ -46,10 +55,12 @@ class MLP(nn.Module):
     def __call__(self, x):
         act = get_activation(self.net_cfg["activation"])
         hid = self.net_cfg["hid_dim"]
+        dtype = _compute_dtype(self.net_cfg)
         for h in hid:
-            x = act(_dense(h, jnp.sqrt(2.0))(x))
+            x = act(_dense(h, jnp.sqrt(2.0), dtype)(x))
         gain = 1.0 if self.output_dim == 1 else 0.01
-        return _dense(self.output_dim, gain)(x)
+        # heads read in f32 downstream (log-prob/KL/value math)
+        return _dense(self.output_dim, gain, dtype)(x).astype(jnp.float32)
 
 
 class Conv3DNet(nn.Module):

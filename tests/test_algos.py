@@ -163,3 +163,21 @@ class TestNetworks:
         x = jnp.zeros((2, 1024 * 3))
         params = net.init(jax.random.PRNGKey(0), x)
         assert net.apply(params, x).shape == (2, 7)
+
+    def test_mlp_bf16_compute_path(self):
+        """Default MLP compute dtype is bf16 (MXU path): params and outputs
+        stay f32, and `dtype: f32` restores full-precision numerics within
+        bf16 rounding of the default."""
+        from partmanip_tpu.models.networks import MLP
+        cfg = {"activation": "tanh", "hid_dim": [64, 64]}
+        net = MLP(4, cfg)
+        x = jax.random.normal(jax.random.PRNGKey(1), (8, 10))
+        params = net.init(jax.random.PRNGKey(0), x)
+        assert all(p.dtype == jnp.float32 for p in jax.tree.leaves(params))
+        y = net.apply(params, x)
+        assert y.dtype == jnp.float32
+        y32 = MLP(4, dict(cfg, dtype="f32")).apply(params, x)
+        np.testing.assert_allclose(np.asarray(y), np.asarray(y32), atol=5e-3)
+        # gradients flow against the f32 params
+        g = jax.grad(lambda p: net.apply(p, x).sum())(params)
+        assert all(q.dtype == jnp.float32 for q in jax.tree.leaves(g))
