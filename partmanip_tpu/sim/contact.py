@@ -172,9 +172,20 @@ def penalty_forces(cs: ContactSet, v_self, params: SimParams, m_eff: float = 0.1
     # end-of-step gap φ + h·vn (stabilizes the explicitly-integrated bodies
     # at h = dt/(substeps·inner))
     depth_pred = cs.depth + h * vn
+    # The depenetration budget counts the already-achieved separation speed:
+    # PhysX's maxDepenetrationVelocity caps the TOTAL velocity depenetration
+    # may introduce, not a per-inner-step increment.  With a per-step cap, a
+    # body held in penetration (e.g. the cube squeezed between a descending
+    # finger and the ground) is pumped by up to max_depen EVERY inner step
+    # and ejects at several m/s once freed (measured 2.3 m/s for a 0.3 m/s
+    # fingertip poke — scripts/poke_cube.py).  While approaching (vn ≤ 0)
+    # this is identical to the plain cap, so the change is strictly
+    # dissipative.
+    depen_budget = jnp.maximum(
+        0.0, params.max_depenetration_velocity - jnp.maximum(vn, 0.0))
     fn_spring = jnp.minimum(
         jnp.maximum(0.0, -kn * jnp.minimum(cs.depth, depth_pred)),
-        m_c * params.max_depenetration_velocity / h,
+        m_c * depen_budget / h,
     )
     approach = jnp.maximum(0.0, -vn)
     fn_damp = jnp.minimum(cd * approach, m_c * approach / h)
@@ -256,6 +267,11 @@ def init_anchors(E: int, S: int) -> AnchorState:
 
 ANCHOR_KS = 2.0e3       # tangential spring stiffness [N/m]
 ANCHOR_ZETA = 1.0       # damping ratio of the tangential spring
+# Per-inner-step velocity margin of the free-body-side anchor reaction cap
+# (engine.py / fused.py): at perfect stick the tangential contact may still
+# exert m·HOLD/h (≈ 6 N for the 0.125 kg cube) to hold a grasped body, but
+# a sweep can only accelerate it to ~the finger's tangential speed.
+FREE_BODY_HOLD_VEL = 0.05  # [m/s]
 
 
 def anchor_friction(

@@ -369,9 +369,30 @@ def _inner_step(scene: SceneSpec, state: SceneState, pos_targets, h,
     if scene.free_body is not None:
         is_cube = (best["id"] == 1).astype(jnp.float32)[..., None]
         f_c, t_c = cube_wrench
-        f_c = f_c - jnp.sum(ft * is_cube, axis=1)
+        ftc = ft * is_cube
+        # Velocity-matching cap on the cube-side reaction (the sphere side
+        # keeps full stiction): the anchor spring's cone limit μ·fn can be
+        # tens of N on a 0.125 kg body when the effort-clamped arm presses
+        # (watermelon-seed squeeze → ~5 m/s lateral ejection, see
+        # scripts/poke_cube.py).  Friction may bring the free body to the
+        # finger's tangential speed plus a small holding margin in one inner
+        # step — enough to hold a grasped cube against gravity
+        # (m·HOLD/h ≈ 6 N ≫ 1.2 N weight) but never to fling it.
+        vrel = v_s - best["pvel"]
+        vt_c = vrel - jnp.sum(
+            vrel * best["normal"], -1, keepdims=True) * best["normal"]
+        m_cube = float(np.asarray(scene.free_body.mass).reshape(-1)[0])
+        n_touch = jnp.maximum(1.0, jnp.sum(
+            is_cube[..., 0] * best["touch"], -1, keepdims=True))
+        cap = (m_cube / n_touch) * (
+            jnp.linalg.norm(vt_c, axis=-1)
+            + contact.FREE_BODY_HOLD_VEL) / p.h
+        mag = jnp.linalg.norm(ftc, axis=-1)
+        ftc = ftc * (jnp.minimum(mag, cap)
+                     / jnp.maximum(mag, 1e-9))[..., None]
+        f_c = f_c - jnp.sum(ftc, axis=1)
         t_c = t_c - jnp.sum(
-            jnp.cross(centers - state.body.pos[:, None], ft * is_cube), axis=1)
+            jnp.cross(centers - state.body.pos[:, None], ftc), axis=1)
         cube_wrench = (f_c, t_c)
     if scene.obj_tree is not None and G > 0:
         onehot = (best["id"][..., None] - 2
@@ -430,6 +451,16 @@ def _inner_step(scene: SceneSpec, state: SceneState, pos_targets, h,
         f_cube = f_cube + jnp.sum(force_c, axis=1)
         torque_cube = torque_cube + jnp.sum(
             jnp.cross(corners_w - state.body.pos[:, None, :], force_c), axis=1)
+        # Net per-body contact Δv cap (≙ IsaacGym PhysX
+        # max_depenetration_velocity = 1 m/s, a per-BODY budget): purely
+        # per-contact budgets still ring when opposing stiff contacts
+        # squeeze the body (finger presses cube 13 mm into the ground), and
+        # a box_sdf face flip then converts the stored normal force into a
+        # single-step multi-m/s lateral kick (scripts/poke_cube.py).
+        m_body = jnp.broadcast_to(scene.free_body.mass, (E,))[:, None]
+        dv = jnp.linalg.norm(f_cube, axis=-1, keepdims=True) * h / m_body
+        f_cube = f_cube * jnp.minimum(
+            1.0, p.max_depenetration_velocity / jnp.maximum(dv, 1e-9))
         body_new = contact.integrate_free_body(
             scene.free_body, state.body, f_cube, torque_cube, h, gravity)
 

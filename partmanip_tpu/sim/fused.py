@@ -616,9 +616,13 @@ def _penalty(depth, normal, v_self, v_other, active, friction, p: SimParams,
                                      keepdims=True))
     m_c = m_eff / n_act
     depth_pred = depth + h * vn
+    # separation-speed-aware depenetration budget (≙ contact.penalty_forces:
+    # caps TOTAL depenetration velocity like PhysX, not a per-step increment)
+    depen_budget = jnp.maximum(
+        0.0, p.max_depenetration_velocity - jnp.maximum(vn, 0.0))
     fn_spring = jnp.minimum(
         jnp.maximum(0.0, -kn * jnp.minimum(depth, depth_pred)),
-        m_c * p.max_depenetration_velocity / h)
+        m_c * depen_budget / h)
     approach = jnp.maximum(0.0, -vn)
     fn_damp = jnp.minimum(cd * approach, m_c * approach / h)
     fn = (fn_spring + fn_damp) * touching
@@ -990,6 +994,18 @@ def _inner_step_tiled(meta: FusedMeta, inp):
     if meta.has_body:
         is_cube = (best.pid == 1).astype(f32)[None]
         ftc = ft * is_cube
+        # velocity-matching cap on the cube-side reaction
+        # (≙ engine.py: watermelon-seed squeeze guard; sphere side keeps
+        # full stiction)
+        vrel_a = v_s - best.pvel
+        vt_c = vrel_a - _dot(vrel_a, n_b)[None] * n_b
+        m_cube = float(np.asarray(meta.fb.mass).reshape(-1)[0])
+        n_touch = jnp.maximum(1.0, jnp.sum(
+            is_cube[0] * best.touch, axis=0, keepdims=True))
+        cap = (m_cube / n_touch)[None] * (
+            _norm(vt_c) + contact_lib.FREE_BODY_HOLD_VEL)[None] / h
+        mag = _norm(ftc)[None]
+        ftc = ftc * jnp.minimum(mag, cap) / jnp.maximum(mag, 1e-9)
         cube_f = cube_f - jnp.sum(ftc, axis=1)
         cube_t = cube_t - jnp.sum(
             _cross(centers - inp["bpos"][:, None], ftc), axis=1)
@@ -1062,6 +1078,12 @@ def _inner_step_tiled(meta: FusedMeta, inp):
                              0.5 * (mu_cube + 0.1), p, m_cube / 4.0, (0,))
         force = cube_f + jnp.sum(f_c, axis=1)
         torque = cube_t + jnp.sum(_cross(rc, f_c), axis=1)
+        # net per-body contact Δv cap (≙ engine.py / IsaacGym PhysX
+        # max_depenetration_velocity): bounds squeeze-ring ejection kicks
+        dv = _norm(force) * h / m_cube
+        force = force * jnp.minimum(
+            1.0, float(p.max_depenetration_velocity)
+            / jnp.maximum(dv, 1e-9))[None]
 
         Rm = _qmat(bq_)
         I_np = np.asarray(fb.inertia, np.float32).reshape(3, 3)

@@ -79,8 +79,12 @@ def main():
             elif phase[e] == 1:
                 tgt = objp[e] + np.array([0, 0, 0.0])
                 # settle before closing: a policy closing mid-flight slaps
-                # the cube out of the gripper (see CLAUDE.md round-3 notes)
-                if np.linalg.norm(tip[e] - tgt) < 0.006 and arm_spd[e] < 0.1:
+                # the cube out of the gripper (see CLAUDE.md round-3 notes).
+                # 0.025 trigger (was 0.006): with the fingers straddling the
+                # cube, rubbing friction stalls the tip-center descent a
+                # couple of cm above the cube center — which is already a
+                # graspable straddle (fingers extend below the tip).
+                if np.linalg.norm(tip[e] - tgt) < 0.025 and arm_spd[e] < 0.1:
                     phase[e] = 2
                     grasp_pt[e] = tgt
             elif phase[e] == 2:
