@@ -381,7 +381,9 @@ def _inner_step(scene: SceneSpec, state: SceneState, pos_targets, h,
         vrel = v_s - best["pvel"]
         vt_c = vrel - jnp.sum(
             vrel * best["normal"], -1, keepdims=True) * best["normal"]
-        m_cube = float(np.asarray(scene.free_body.mass).reshape(-1)[0])
+        # per-env mass: FreeBodySpec.mass is [E?]-broadcastable (advisor r4
+        # — env-0 scalar silently wrong under per-env mass randomization)
+        m_cube = jnp.broadcast_to(scene.free_body.mass, (E,))[:, None]
         n_touch = jnp.maximum(1.0, jnp.sum(
             is_cube[..., 0] * best["touch"], -1, keepdims=True))
         cap = (m_cube / n_touch) * (
@@ -459,8 +461,13 @@ def _inner_step(scene: SceneSpec, state: SceneState, pos_targets, h,
         # single-step multi-m/s lateral kick (scripts/poke_cube.py).
         m_body = jnp.broadcast_to(scene.free_body.mass, (E,))[:, None]
         dv = jnp.linalg.norm(f_cube, axis=-1, keepdims=True) * h / m_body
-        f_cube = f_cube * jnp.minimum(
+        dv_scale = jnp.minimum(
             1.0, p.max_depenetration_velocity / jnp.maximum(dv, 1e-9))
+        f_cube = f_cube * dv_scale
+        # Scale the torque by the same factor: an uncapped contact torque
+        # would re-convert to linear motion at the next contact (a
+        # squeeze/face-flip angular kick — advisor r4).
+        torque_cube = torque_cube * dv_scale
         body_new = contact.integrate_free_body(
             scene.free_body, state.body, f_cube, torque_cube, h, gravity)
 

@@ -1081,9 +1081,13 @@ def _inner_step_tiled(meta: FusedMeta, inp):
         # net per-body contact Δv cap (≙ engine.py / IsaacGym PhysX
         # max_depenetration_velocity): bounds squeeze-ring ejection kicks
         dv = _norm(force) * h / m_cube
-        force = force * jnp.minimum(
+        dv_scale = jnp.minimum(
             1.0, float(p.max_depenetration_velocity)
             / jnp.maximum(dv, 1e-9))[None]
+        force = force * dv_scale
+        # torque scaled by the same factor (≙ engine.py) — an uncapped
+        # angular kick re-converts to linear motion at the next contact
+        torque = torque * dv_scale
 
         Rm = _qmat(bq_)
         I_np = np.asarray(fb.inertia, np.float32).reshape(3, 3)
