@@ -26,29 +26,36 @@ from .sim.types import SimParams
 CFG_ROOT = os.path.join(os.path.dirname(os.path.abspath(__file__)), "cfg")
 
 
-def add_args(parser: ArgumentParser, cfg: dict, prefix: str = "") -> ArgumentParser:
-    """Mirror every config key as a dotted CLI flag (≙ ``utils/config.py:35-74``).
-
-    Bool flags flip their YAML default; value types are frozen by the YAML
-    defaults; list values take ``nargs='+'``.
-    """
-    for k, v in cfg.items():
-        flag = "--" + prefix + k
-        if isinstance(v, bool):
-            parser.add_argument(flag, default=None,
-                                action="store_false" if v else "store_true")
-        elif isinstance(v, int):
-            parser.add_argument(flag, type=int)
-        elif isinstance(v, float):
-            parser.add_argument(flag, type=float)
-        elif isinstance(v, str) or v is None:
-            parser.add_argument(flag)
-        elif isinstance(v, dict):
-            add_args(parser, v, prefix + k + ".")
-        elif isinstance(v, abc.Iterable):
-            parser.add_argument(flag, type=type(v[0]), nargs="+")
+def _flag_specs(tree: dict, prefix: str = ""):
+    """Yield ``(dotted_name, argparse_kwargs)`` for every leaf of the config
+    tree.  CLI contract (same observable semantics as the reference's
+    auto-argparse, ``utils/config.py:35-74``, re-derived here): bool leaves
+    become bare switches that INVERT the YAML default; numeric/str leaves
+    are typed by the YAML value; list leaves take one-or-more values typed
+    by their first element; dicts recurse with a dot separator."""
+    for key, val in tree.items():
+        dotted = f"{prefix}{key}"
+        if isinstance(val, dict):
+            yield from _flag_specs(val, dotted + ".")
+        elif isinstance(val, bool):
+            yield dotted, {"default": None,
+                           "action": "store_true" if not val else "store_false"}
+        elif isinstance(val, (int, float)):
+            yield dotted, {"type": type(val)}
+        elif val is None or isinstance(val, str):
+            yield dotted, {}
+        elif isinstance(val, abc.Iterable):
+            seq = list(val)
+            yield dotted, {"type": type(seq[0]) if seq else str, "nargs": "+"}
         else:
-            print(f"WARNING: cannot parse key {prefix + k} of type {type(v)}")
+            print(f"[config] no CLI flag generated for {dotted!r}: "
+                  f"un-flaggable leaf type {type(val).__name__}")
+
+
+def add_args(parser: ArgumentParser, cfg: dict, prefix: str = "") -> ArgumentParser:
+    """Mirror every config key as a dotted CLI flag."""
+    for dotted, kwargs in _flag_specs(cfg, prefix):
+        parser.add_argument("--" + dotted, **kwargs)
     return parser
 
 

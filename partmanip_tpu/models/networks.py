@@ -43,7 +43,12 @@ def _compute_dtype(net_cfg: dict, default: str = "bf16"):
     v5e) while parameters/optimizer state stay f32 — grads are computed
     against the f32 params, only the contraction is low-precision.
     ``--algo.model.network.dtype f32`` restores exact f32 numerics."""
-    return {"bf16": jnp.bfloat16, "f32": None}[net_cfg.get("dtype", default)]
+    v = net_cfg.get("dtype", default)
+    table = {"bf16": jnp.bfloat16, "f32": None}
+    if v not in table:
+        raise ValueError(f"network.dtype must be one of {sorted(table)}, "
+                         f"got {v!r}")
+    return table[v]
 
 
 class MLP(nn.Module):
