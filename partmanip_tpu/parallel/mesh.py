@@ -120,6 +120,13 @@ def _per_env_leaves(nt, E: int):
     return out
 
 
+# Trace-time dispatch counter: incremented whenever the shard_map'd fused
+# path is traced, so harnesses (e.g. __graft_entry__.dryrun_multichip) can
+# assert the multi-chip trainer actually took the Pallas kernel route and
+# not the jnp fallback (VERDICT r4 #5).
+SHARD_DISPATCH_COUNT = 0
+
+
 def shard_physics_step(mesh: Mesh, scene, state, pos_targets):
     """Run the fused Pallas inner step under ``shard_map`` over the env
     axis: each device executes the Mosaic kernel on its local env shard.
@@ -135,6 +142,8 @@ def shard_physics_step(mesh: Mesh, scene, state, pos_targets):
 
     from ..sim import fused
 
+    global SHARD_DISPATCH_COUNT
+    SHARD_DISPATCH_COUNT += 1
     ax = mesh.axis_names[0]
     n = int(mesh.devices.size)
     E = state.robot.qpos.shape[0]
