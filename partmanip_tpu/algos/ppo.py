@@ -477,11 +477,13 @@ class PPO:
                     vision_lib.scene_prims(self.env, env_state.sim))
                 from ..ops import raymarch
                 poses, intr, vid_h, vid_w = vid_cam
-                depth = raymarch.render_depth(prims, poses, intr,
-                                              vid_h, vid_w)
-                video_lib.save_depth_frame(
-                    pjoin(video_dir, f"{i}.png"),
-                    np.asarray(depth[0, 0]))
+                # RGB frames like the reference's save camera
+                # (hand_base.py:355-357); Lambertian-shaded over the same
+                # raymarched depth
+                rgb = raymarch.render_rgb(prims, poses, intr, vid_h, vid_w)
+                video_lib.save_rgb_frame(
+                    pjoin(video_dir, f"{i:04d}.png"),
+                    np.asarray(rgb[0, 0]))
             env_state, next_obs, rew, dones, extras = step(env_state, actions)
             o = self._select_obs(next_obs)
             if self.tricks["use_state_norm"]:

@@ -27,6 +27,21 @@ def save_depth_frame(path: str, depth: np.ndarray, far: float = 3.0):
         np.save(path.replace(".png", ".npy"), img8)
 
 
+def save_rgb_frame(path: str, rgb: np.ndarray):
+    """Write one RGB image ([H, W, 3] float 0-1 or uint8) as png (or .npy
+    fallback) — the eval video frames (≙ RGB save camera,
+    ``hand_base.py:355-357``)."""
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    img = np.asarray(rgb)
+    if img.dtype != np.uint8:
+        img = (255 * np.clip(img, 0, 1)).astype(np.uint8)
+    try:
+        import cv2
+        cv2.imwrite(path, img[..., ::-1])  # cv2 writes BGR
+    except ImportError:
+        np.save(path.replace(".png", ".npy"), img)
+
+
 def path_to_video(frame_dir: str, fps: int = 15, cleanup: bool = True):
     """png frame dir → video.mp4 (+ gif if ffmpeg exists), then delete the
     frames (≙ ``img2video.py:5-28``)."""
