@@ -61,6 +61,13 @@ def main():
     phase = np.zeros(E, np.int32)  # 0 hover, 1 descend, 2 close, 3 lift
     close_timer = np.zeros(E, np.int32)
     grasp_pt = np.zeros((E, 3), np.float32)
+    # straddle geometry: the lowest finger-pad sphere (franka.py pads,
+    # finger-local z 0.052 r 0.0065) reaches ~14 mm BELOW the tip midpoint
+    # (lefttip/righttip at finger-local 0.0445), so pads bracket the cube
+    # center when tip_z ≈ obj_z − 0.0075.  Descending to obj_z exactly (the
+    # old target) rams the pad spheres into the cube top from ~tip_z 0.065
+    # and the rub drags the cube away — the r5 diag failure mode.
+    STRADDLE_DZ = -0.0075
     for t in range(args.steps):
         view = views(state)
         tip = np.asarray(view.tip_pos)
@@ -68,23 +75,21 @@ def main():
         gl = np.asarray(view.gripper_length)
         objp = np.asarray(state.sim.body.pos)
         qv = np.asarray(view.qvel)
-        arm_spd = np.abs(qv[:, :-2]).max(axis=1)
 
         act = np.zeros((E, env.num_actions), np.float32)
         for e in range(E):
+            slow_z = False
             if phase[e] == 0:
-                tgt = objp[e] + np.array([0, 0, 0.12])
-                if np.linalg.norm(tip[e] - tgt) < 0.01:
+                tgt = objp[e] + np.array([0, 0, 0.10])
+                if np.linalg.norm(tip[e] - tgt) < 0.008:
                     phase[e] = 1
             elif phase[e] == 1:
-                tgt = objp[e] + np.array([0, 0, 0.0])
-                # settle before closing: a policy closing mid-flight slaps
-                # the cube out of the gripper (see CLAUDE.md round-3 notes).
-                # 0.025 trigger (was 0.006): with the fingers straddling the
-                # cube, rubbing friction stalls the tip-center descent a
-                # couple of cm above the cube center — which is already a
-                # graspable straddle (fingers extend below the tip).
-                if np.linalg.norm(tip[e] - tgt) < 0.025 and arm_spd[e] < 0.1:
+                # vertical straddle descent: track the cube in xy, creep in
+                # z (clip ±0.35) so pad contact cannot turn into a drag
+                tgt = objp[e] + np.array([0, 0, STRADDLE_DZ])
+                slow_z = True
+                xy_err = np.linalg.norm(tip[e][:2] - objp[e][:2])
+                if xy_err < 0.008 and tip[e][2] - tgt[2] < 0.01:
                     phase[e] = 2
                     grasp_pt[e] = tgt
             elif phase[e] == 2:
@@ -93,9 +98,13 @@ def main():
                 if close_timer[e] > 60:
                     phase[e] = 3
             else:
-                tgt = np.array([0, 0, 0.2])
+                # success wants obj within 0.025 of (0,0,0.2); a grasped obj
+                # rides ~7.5 mm above the tip midpoint
+                tgt = np.array([0, 0, 0.1925])
             err = tgt - tip[e]
             act[e, :3] = np.clip(err / 0.005, -1, 1)
+            if slow_z:
+                act[e, 2] = np.clip(act[e, 2], -0.35, 0.35)
             # keep hand pointing down: servo orientation toward the
             # reference heuristic grasp quat (-0.5,0.5,0.5,-0.5)
             import partmanip_tpu.ops.rotations as rot

@@ -66,6 +66,9 @@ evals)
     "train valIntra valInter" "${ITERS:-10000 20000 30000}"
   ;;
 ceiling)
+  # standalone assignment first: `exit 3` inside $() only kills the
+  # subshell, but set -e aborts on a failed assignment (advisor r4)
+  teacher=$(resolve_teacher)
   python train.py --taskcfg open_drawer --algocfg dagger \
     --exp_name ceiling_r3_seed17 \
     --algo.obs_mode normal_state \
@@ -74,11 +77,12 @@ ceiling)
     --algo.buf_size 64 \
     --algo.minibatch_cap 2048 \
     --algo.max_iterations 3000 \
-    --algo.teacher "$(resolve_teacher)"
+    --algo.teacher "$teacher"
   ;;
 demos)
+  teacher=$(resolve_teacher)
   python tools/collect_demos.py \
-    --teacher "$(resolve_teacher)" \
+    --teacher "$teacher" \
     --only_success --episodes ${EPISODES:-8} \
     --out logs/demos/open_drawer_r3 "${@:2}"
   ;;
@@ -92,11 +96,12 @@ bc)
 student)
   # PRETRAIN: BC ckpt path (stage bc); OFFLINE: demo dir (stage demos).
   # teacher_reward intentionally unset: classic resets measured 2x better.
+  teacher=$(resolve_teacher)
   python train.py --taskcfg open_drawer --algocfg dagger \
     --exp_name student_r3_seed23 \
     --algo.num_envs 16 \
     --algo.max_iterations 10000 \
-    --algo.teacher "$(resolve_teacher)" \
+    --algo.teacher "$teacher" \
     ${PRETRAIN:+--pretrain ${PRETRAIN}} \
     ${OFFLINE:+--algo.offline_data_pth ${OFFLINE}} \
     ${RESUME:+--resume ${RESUME}}
@@ -105,6 +110,7 @@ depth_student)
   # rendered-depth sensor path (VERDICT r2 #7): depth cameras -> on-device
   # TSDF fusion -> Conv3D student.  Short run: the deliverable is a
   # committed learning curve proving the full pipeline trains end-to-end.
+  teacher=$(resolve_teacher)
   python train.py --taskcfg open_drawer --algocfg dagger \
     --exp_name depth_student_r3_seed5 \
     --algo.obs_mode depth_tsdf \
@@ -113,17 +119,18 @@ depth_student)
     --algo.max_iterations ${ITERS:-2000} \
     --algo.eval_frequence 500 \
     --algo.save_frequence 500 \
-    --algo.teacher "$(resolve_teacher)" \
+    --algo.teacher "$teacher" \
     ${OFFLINE:+--algo.offline_data_pth ${OFFLINE}} \
     ${RESUME:+--resume ${RESUME}}
   ;;
 cube)
   # state-norm required: no-norm cube PPO measured non-converging (r2);
   # it is the yaml DEFAULT (True) — passing the bool flag would FLIP it off.
+  # r5 run: retrain on the fixed contacts (b359613 + r5 torque-scale cap).
   python train.py --taskcfg grasp_cube --algocfg ppo \
-    --exp_name cube_r3_seed101 \
+    --exp_name ${CUBE_EXP:-cube_r5_seed101} \
     --algo.num_envs 4096 \
-    --algo.max_iterations 30000 \
+    --algo.max_iterations ${ITERS:-30000} \
     --algo.save_frequence 2000 \
     ${RESUME:+--resume ${RESUME}}
   ;;
