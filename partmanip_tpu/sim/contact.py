@@ -136,7 +136,7 @@ def spheres_vs_boxes(
 
 
 def penalty_forces(cs: ContactSet, v_self, params: SimParams, m_eff: float = 0.1,
-                   tangential: bool = True):
+                   tangential: bool = True, recede_damp: float = 0.0):
     """Regularized penalty contact forces, strictly dissipative per step.
 
     F = fn·n + ft with
@@ -189,7 +189,18 @@ def penalty_forces(cs: ContactSet, v_self, params: SimParams, m_eff: float = 0.1
     )
     approach = jnp.maximum(0.0, -vn)
     fn_damp = jnp.minimum(cd * approach, m_c * approach / h)
-    fn = (fn_spring + fn_damp) * touching
+    # Recede damping (restitution → 0) for light FREE bodies: without it a
+    # body squeezed between two opposing stiff contacts exits each bounce
+    # at the full depenetration budget (the spring re-accelerates it to
+    # max_depen every inner step) and chatters at ±max_depen indefinitely —
+    # measured ±1 m/s on the pinched cube, rectified upward by the ground
+    # into a steady climb.  The damper is impulse-capped so it can at most
+    # cancel the recede velocity (inelastic, never sticky); gated off by
+    # default so articulated-partner contacts (drawer pulls) keep their
+    # calibrated dynamics.
+    recede = jnp.maximum(0.0, vn)
+    fn_rec = recede_damp * jnp.minimum(cd * recede, m_c * recede / h)
+    fn = jnp.maximum(0.0, fn_spring + fn_damp - fn_rec) * touching
     if tangential:
         ft_mag = jnp.minimum(
             jnp.minimum(cs.friction * fn, params.contact_kt * vt_norm),

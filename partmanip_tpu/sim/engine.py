@@ -140,7 +140,8 @@ def _inner_step(scene: SceneSpec, state: SceneState, pos_targets, h,
                 state.body, pts.reshape(E, -1, 3)).reshape(pts.shape),
         )
         m_cube = float(np.asarray(fb.mass).reshape(-1)[0])
-        f_b, fn_b, t_b = contact.penalty_forces(cs_b, v_s, p, m_cube)
+        f_b, fn_b, t_b = contact.penalty_forces(cs_b, v_s, p, m_cube,
+                                                recede_damp=1.0)
         F_sphere = F_sphere + f_b
         N_sphere = N_sphere + _nnT(cs_b.normal[:, :, None, :],
                                    imp_coef(t_b, m_cube)[:, :, None])
@@ -449,7 +450,8 @@ def _inner_step(scene: SceneSpec, state: SceneState, pos_targets, h,
         )
         force_c, _, _ = contact.penalty_forces(
             cs_c, v_c, p, float(np.asarray(
-                scene.free_body.mass).reshape(-1)[0]) / 4.0)
+                scene.free_body.mass).reshape(-1)[0]) / 4.0,
+            recede_damp=1.0)
         f_cube = f_cube + jnp.sum(force_c, axis=1)
         torque_cube = torque_cube + jnp.sum(
             jnp.cross(corners_w - state.body.pos[:, None, :], force_c), axis=1)

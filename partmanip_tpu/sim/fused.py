@@ -600,7 +600,7 @@ def _box_sdf_tiled(p, half):
 
 
 def _penalty(depth, normal, v_self, v_other, active, friction, p: SimParams,
-             m_eff, contact_axes):
+             m_eff, contact_axes, recede_damp: float = 0.0):
     """≙ contact.penalty_forces. All arrays [..., R, C]; normal/v [3, ...].
     contact_axes: axes of the per-body contact set (for the n_act budget).
     Returns (force [3, ...], fn, touching)."""
@@ -625,7 +625,11 @@ def _penalty(depth, normal, v_self, v_other, active, friction, p: SimParams,
         m_c * depen_budget / h)
     approach = jnp.maximum(0.0, -vn)
     fn_damp = jnp.minimum(cd * approach, m_c * approach / h)
-    fn = (fn_spring + fn_damp) * touching
+    # recede damping for free-body contacts (≙ contact.penalty_forces):
+    # restitution → 0 so a pinched cube cannot chatter at ±max_depen
+    recede = jnp.maximum(0.0, vn)
+    fn_rec = recede_damp * jnp.minimum(cd * recede, m_c * recede / h)
+    fn = jnp.maximum(0.0, fn_spring + fn_damp - fn_rec) * touching
     ft_mag = jnp.minimum(
         jnp.minimum(friction * fn, p.contact_kt * vt_norm),
         m_c * vt_norm / h)
@@ -802,7 +806,7 @@ def _inner_step_tiled(meta: FusedMeta, inp):
                   + _cross(inp["bang"][:, None], rel))
         mu_b = 0.5 * (mu_s + mu_cube)
         f_b, fn_b, t_b = _penalty(depth_b, n_w, v_s, v_cube, 1.0,
-                                  mu_b, p, m_cube, (0,))
+                                  mu_b, p, m_cube, (0,), recede_damp=1.0)
         F_sph = F_sph + f_b
         imp_b = _imp_coef(t_b, m_cube, p)
         for a in range(3):
@@ -1075,7 +1079,8 @@ def _inner_step_tiled(meta: FusedMeta, inp):
         n_c = jnp.concatenate([jnp.zeros((2, 8, R, C), f32),
                                jnp.ones((1, 8, R, C), f32)])
         f_c, _, _ = _penalty(corners_w[2], n_c, v_c, 0.0, 1.0,
-                             0.5 * (mu_cube + 0.1), p, m_cube / 4.0, (0,))
+                             0.5 * (mu_cube + 0.1), p, m_cube / 4.0, (0,),
+                             recede_damp=1.0)
         force = cube_f + jnp.sum(f_c, axis=1)
         torque = cube_t + jnp.sum(_cross(rc, f_c), axis=1)
         # net per-body contact Δv cap (≙ engine.py / IsaacGym PhysX

@@ -61,13 +61,13 @@ def main():
     phase = np.zeros(E, np.int32)  # 0 hover, 1 descend, 2 close, 3 lift
     close_timer = np.zeros(E, np.int32)
     grasp_pt = np.zeros((E, 3), np.float32)
-    # straddle geometry: the lowest finger-pad sphere (franka.py pads,
-    # finger-local z 0.052 r 0.0065) reaches ~14 mm BELOW the tip midpoint
-    # (lefttip/righttip at finger-local 0.0445), so pads bracket the cube
-    # center when tip_z ≈ obj_z − 0.0075.  Descending to obj_z exactly (the
-    # old target) rams the pad spheres into the cube top from ~tip_z 0.065
-    # and the rub drags the cube away — the r5 diag failure mode.
-    STRADDLE_DZ = -0.0075
+    # straddle geometry: the lowest finger-pad sphere CENTERS (franka.py
+    # pads, finger-local z 0.052; fingertips at 0.0445) sit 7.5 mm below the
+    # tip midpoint, so the pads grip the cube side at its center height when
+    # tip_z = obj_z + 0.0075.  The pads straddle at y = tip_y ± 0.0465
+    # (inner faces ±0.04) vs cube half-width 0.025 — 15 mm clearance per
+    # side while the hand keeps its reset orientation.
+    STRADDLE_DZ = +0.0025
     for t in range(args.steps):
         view = views(state)
         tip = np.asarray(view.tip_pos)
@@ -79,9 +79,12 @@ def main():
         act = np.zeros((E, env.num_actions), np.float32)
         for e in range(E):
             slow_z = False
+            # NB the WHOLE grasp must fit in maxEpisodeLength (200 steps) —
+            # the env resets at the horizon, which reads as "the lift
+            # dropped the cube" if the script dawdles.
             if phase[e] == 0:
                 tgt = objp[e] + np.array([0, 0, 0.10])
-                if np.linalg.norm(tip[e] - tgt) < 0.008:
+                if np.linalg.norm(tip[e] - tgt) < 0.015:
                     phase[e] = 1
             elif phase[e] == 1:
                 # vertical straddle descent: track the cube in xy, creep in
@@ -93,26 +96,45 @@ def main():
                     phase[e] = 2
                     grasp_pt[e] = tgt
             elif phase[e] == 2:
-                tgt = grasp_pt[e]      # hold still; do not chase the cube
+                # hold still while pinching (chasing the cube in z feeds
+                # back into the squeeze-extrusion and the cube climbs);
+                # once the pinch settles, re-center ONCE on the cube's
+                # settled height (closing pops it up ~1.5 cm against the
+                # ground depen — gripping the bottom edge slips on lift).
+                if close_timer[e] == 20:
+                    grasp_pt[e][2] = objp[e][2] + STRADDLE_DZ
+                tgt = grasp_pt[e]
+                slow_z = True
                 close_timer[e] += 1
-                if close_timer[e] > 60:
+                if close_timer[e] > 30:
                     phase[e] = 3
             else:
-                # success wants obj within 0.025 of (0,0,0.2); a grasped obj
-                # rides ~7.5 mm above the tip midpoint
-                tgt = np.array([0, 0, 0.1925])
+                # success wants obj within 0.025 of (0,0,0.2) AND tip within
+                # 0.02 of the obj; a grasped obj rides ~7.5 mm below the tip
+                tgt = np.array([0, 0, 0.2075])
             err = tgt - tip[e]
             act[e, :3] = np.clip(err / 0.005, -1, 1)
             if slow_z:
-                act[e, 2] = np.clip(act[e, 2], -0.35, 0.35)
-            # keep hand pointing down: servo orientation toward the
-            # reference heuristic grasp quat (-0.5,0.5,0.5,-0.5)
+                act[e, 2] = np.clip(act[e, 2], -0.5, 0.5)
+            elif phase[e] == 3:
+                # moderate lift speed (with recede-damped contacts the
+                # grasp holds; the horizon is the binding constraint)
+                act[e, 2] = np.clip(act[e, 2], -0.8, 0.8)
+            # Hold the RESET orientation (0,1,0,0): hand pointing down,
+            # fingers opening along y — already a perfect straddle pose for
+            # the axis-aligned cube.  The reference's heuristic grasp quat
+            # (-0.5,0.5,0.5,-0.5) is expressed in ISAAC's tip frame; in this
+            # sim's tip frame servoing to it TILTS the hand ~70° (the
+            # gripper axis goes near-vertical, the lower pad hangs ~46 mm
+            # under the tip over the cube's top face and bats it away — the
+            # r5 diag failure mode; measured via /tmp/diag_probe sphere FK).
             import partmanip_tpu.ops.rotations as rot
-            gq = jnp.asarray([[-0.5, 0.5, 0.5, -0.5]])
+            gq = jnp.asarray([[0.0, 1.0, 0.0, 0.0]])
             oerr = np.asarray(rot.orientation_error(
                 gq, jnp.asarray(tipq[e:e + 1])))[0]
             act[e, 3:6] = np.clip(oerr / 0.005, -1, 1)
-            # half-speed close: gentle pinch instead of a slap
+            # half-speed close: a gentle pinch holds; harder squeezing
+            # extrudes the cube upward out of the point-contact grip
             act[e, 6] = 1.0 if phase[e] < 2 else -0.4
         state, obs, rew, reset, extras = step(state, jnp.asarray(act))
         if t % 20 == 0 or t == args.steps - 1 or (55 <= t <= 125 and t % 5 == 0):
